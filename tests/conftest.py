@@ -1,0 +1,26 @@
+import os
+
+# Force CPU with 8 virtual devices so multi-chip sharding tests run anywhere.
+# (The session env pins JAX_PLATFORMS=axon/TPU, so an unconditional override is
+# required; on TPU the default bf16 matmul precision would break fp32 parity
+# assertions.)
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# sitecustomize (axon) imports jax at interpreter startup, so jax already
+# captured JAX_PLATFORMS=axon from the env; override via config instead.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

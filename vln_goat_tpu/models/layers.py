@@ -1,0 +1,307 @@
+"""Transformer building blocks (flax.linen), numerically matching the
+reference BERT/RoBERTa blocks (map_nav_src/models/Bert_backbone.py) and the
+DETR pre-norm encoder (map_nav_src/models/transformer.py:133-190).
+
+Parity rules honored throughout:
+- additive -10000 masks (ops/masks.py), softmax in float32;
+- erf-gelu;
+- LayerNorm eps: config.layer_norm_eps (1e-5) inside BERT blocks, 1e-12 where
+  the reference hardcodes BertLayerNorm(..., eps=1e-12);
+- module *names* mirror the torch state-dict keys so the checkpoint
+  converter (train/checkpoint.py) is mechanical: torch "a.0.b.weight" ->
+  flax path ("a_0", "b", "kernel").
+
+TPU notes: all attention shapes here are tiny (<=256 tokens, head_dim 64),
+so a single fused XLA dot-general chain is already MXU-bound; batching—not
+kernel exotica—is where the throughput comes from. Compute dtype is
+switchable to bfloat16 (params stay fp32).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import GoatConfig
+from ..ops.activations import ACT2FN
+from ..ops.masks import extend_neg_masks
+
+Dtype = Any
+
+
+def _dense(features, name, dtype):
+    return nn.Dense(features, name=name, dtype=dtype)
+
+
+class AttentionCore(nn.Module):
+    """Scaled dot-product attention with q/k/v projections.
+
+    Mirrors BertSelfAttention / RobertaSelfAttention
+    (Bert_backbone.py:251-376, 439-578): bias is an additive float mask
+    broadcastable to [B, H, Lq, Lk]; softmax is taken in float32.
+    """
+
+    num_heads: int
+    head_dim: int
+    dropout_rate: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_in, kv_in, bias=None, deterministic=True):
+        d = self.num_heads * self.head_dim
+        q = _dense(d, "query", self.dtype)(q_in)
+        k = _dense(d, "key", self.dtype)(kv_in)
+        v = _dense(d, "value", self.dtype)(kv_in)
+
+        B, Lq = q.shape[0], q.shape[1]
+        Lk = k.shape[1]
+        q = q.reshape(B, Lq, self.num_heads, self.head_dim)
+        k = k.reshape(B, Lk, self.num_heads, self.head_dim)
+        v = v.reshape(B, Lk, self.num_heads, self.head_dim)
+
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(self.head_dim)
+        if bias is not None:
+            scores = scores + bias.astype(scores.dtype)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        probs = nn.Dropout(self.dropout_rate)(probs, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        return ctx.reshape(B, Lq, d)
+
+
+class BertSelfOutput(nn.Module):
+    config: GoatConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, residual, deterministic=True):
+        c = self.config
+        h = _dense(c.hidden_size, "dense", self.dtype)(hidden)
+        h = nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="LayerNorm", dtype=self.dtype)(h + residual)
+        return h
+
+
+class BertAttention(nn.Module):
+    """Self- or cross-attention block with post-LN output."""
+
+    config: GoatConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, kv=None, bias=None, deterministic=True):
+        c = self.config
+        kv = hidden if kv is None else kv
+        ctx = AttentionCore(
+            c.num_attention_heads, c.head_dim,
+            c.attention_probs_dropout_prob, self.dtype, name="self",
+        )(hidden, kv, bias, deterministic)
+        return BertSelfOutput(c, self.dtype, name="output")(ctx, hidden, deterministic)
+
+
+class BertIntermediate(nn.Module):
+    config: GoatConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden):
+        c = self.config
+        h = _dense(c.intermediate_size, "dense", self.dtype)(hidden)
+        return ACT2FN[c.hidden_act](h)
+
+
+class BertOutput(nn.Module):
+    config: GoatConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, residual, deterministic=True):
+        c = self.config
+        h = _dense(c.hidden_size, "dense", self.dtype)(hidden)
+        h = nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="LayerNorm", dtype=self.dtype)(h + residual)
+        return h
+
+
+class BertLayer(nn.Module):
+    """RobertaLayer / BertLayer: self-attn -> FFN (Bert_backbone.py:149-234)."""
+
+    config: GoatConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, bias=None, deterministic=True):
+        c = self.config
+        attn_out = BertAttention(c, self.dtype, name="attention")(
+            hidden, None, bias, deterministic)
+        inter = BertIntermediate(c, self.dtype, name="intermediate")(attn_out)
+        return BertOutput(c, self.dtype, name="output")(inter, attn_out, deterministic)
+
+
+class BertCrossLayer(nn.Module):
+    """BertCrossLayer (Bert_backbone.py:651-712): self-attn (with optional
+    graph_sprels added to the additive mask, :675-676) -> cross-attn -> FFN."""
+
+    config: GoatConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, enc_hidden, self_bias=None, cross_bias=None,
+                 graph_sprels=None, deterministic=True):
+        c = self.config
+        if graph_sprels is not None:
+            self_bias = (0.0 if self_bias is None else self_bias) + graph_sprels
+        h = BertAttention(c, self.dtype, name="attention")(
+            hidden, None, self_bias, deterministic)
+        h = BertAttention(c, self.dtype, name="crossattention")(
+            h, enc_hidden, cross_bias, deterministic)
+        inter = BertIntermediate(c, self.dtype, name="intermediate")(h)
+        return BertOutput(c, self.dtype, name="output")(inter, h, deterministic)
+
+
+class CrossmodalEncoder(nn.Module):
+    """Stack of BertCrossLayer (Bert_backbone.py:828-852).
+
+    NOTE argument order matches the reference forward(q, q_masks, kv,
+    kv_masks): queries first.
+    """
+
+    config: GoatConfig
+    num_layers: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_embeds, q_masks, kv_embeds, kv_masks,
+                 graph_sprels=None, deterministic=True):
+        n = self.num_layers if self.num_layers is not None else self.config.num_x_layers
+        self_bias = extend_neg_masks(q_masks) if q_masks is not None else None
+        cross_bias = extend_neg_masks(kv_masks) if kv_masks is not None else None
+        h = q_embeds
+        for i in range(n):
+            h = BertCrossLayer(self.config, self.dtype, name=f"crossattention_{i}")(
+                h, kv_embeds, self_bias, cross_bias, graph_sprels, deterministic)
+        return h
+
+
+class TorchMultiheadAttention(nn.Module):
+    """torch.nn.MultiheadAttention equivalent (packed qkv in torch; we keep
+    separate q/k/v Dense — the checkpoint converter splits in_proj)."""
+
+    num_heads: int
+    head_dim: int
+    dropout_rate: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_in, k_in, v_in, key_padding_mask=None, deterministic=True):
+        d = self.num_heads * self.head_dim
+        q = _dense(d, "q_proj", self.dtype)(q_in)
+        k = _dense(d, "k_proj", self.dtype)(k_in)
+        v = _dense(d, "v_proj", self.dtype)(v_in)
+        B, Lq, Lk = q.shape[0], q.shape[1], k.shape[1]
+        q = q.reshape(B, Lq, self.num_heads, self.head_dim)
+        k = k.reshape(B, Lk, self.num_heads, self.head_dim)
+        v = v.reshape(B, Lk, self.num_heads, self.head_dim)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(self.head_dim)
+        if key_padding_mask is not None:
+            # torch semantics: True = ignore. Use -inf like torch MHA.
+            neg = jnp.finfo(jnp.float32).min
+            scores = jnp.where(key_padding_mask[:, None, None, :], neg, scores)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        probs = nn.Dropout(self.dropout_rate)(probs, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, Lq, d)
+        return _dense(d, "out_proj", self.dtype)(ctx)
+
+
+class PanoEncoderLayer(nn.Module):
+    """DETR pre-norm TransformerEncoderLayer (transformer.py:170-182).
+
+    x2 = LN1(x); x += dropout(MHA(x2)); x2 = LN2(x); x += dropout(FFN(x2)).
+    LayerNorm eps is the torch default 1e-5 here.
+    """
+
+    config: GoatConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, key_padding_mask=None, deterministic=True):
+        c = self.config
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=self.dtype)(src)
+        h = TorchMultiheadAttention(
+            c.num_attention_heads, c.head_dim, c.hidden_dropout_prob,
+            self.dtype, name="self_attn",
+        )(h, h, h, key_padding_mask, deterministic)
+        src = src + nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=self.dtype)(src)
+        h = _dense(c.intermediate_size, "linear1", self.dtype)(h)
+        h = ACT2FN[c.hidden_act](h)
+        h = nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
+        h = _dense(c.hidden_size, "linear2", self.dtype)(h)
+        src = src + nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
+        return src
+
+
+class PanoEncoder(nn.Module):
+    """create_transformer_encoder(..., norm=True) (models/ops.py:11-23):
+    pre-norm DETR encoder stack + final BertLayerNorm(eps=1e-12)."""
+
+    config: GoatConfig
+    num_layers: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, key_padding_mask=None, deterministic=True):
+        h = src
+        for i in range(self.num_layers):
+            h = PanoEncoderLayer(self.config, self.dtype, name=f"layers_{i}")(
+                h, key_padding_mask, deterministic)
+        h = nn.LayerNorm(epsilon=1e-12, name="norm", dtype=self.dtype)(h)
+        return h
+
+
+class BertPooler(nn.Module):
+    """BertPooler (Bert_backbone.py:854-866): dense+tanh on one token."""
+
+    config: GoatConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, location=0):
+        first = hidden[:, location]
+        return jnp.tanh(_dense(self.config.hidden_size, "dense", self.dtype)(first))
+
+
+class BertPredictionHeadTransform(nn.Module):
+    """dense -> act -> LayerNorm (Bert_backbone.py:868-882)."""
+
+    config: GoatConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden):
+        c = self.config
+        h = _dense(c.hidden_size, "dense", self.dtype)(hidden)
+        h = ACT2FN[c.hidden_act](h)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, name="LayerNorm", dtype=self.dtype)(h)
+
+
+class ClsPrediction(nn.Module):
+    """vilmodel_GOAT.py:512-524: Linear -> ReLU -> LN(1e-12) -> Linear.
+
+    torch names net.0 / net.2 / net.3 -> flax net_0 / net_2 / net_3.
+    """
+
+    config: GoatConfig
+    input_size: Optional[int] = None
+    output_size: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.config
+        h = _dense(c.hidden_size, "net_0", self.dtype)(x)
+        h = jax.nn.relu(h)
+        h = nn.LayerNorm(epsilon=1e-12, name="net_2", dtype=self.dtype)(h)
+        return _dense(self.output_size, "net_3", self.dtype)(h)
