@@ -1,0 +1,584 @@
+"""Scan-compiled episodic rollout: the TPU replacement for the reference's
+host-driven step loop (map_nav_src/r2r/agent.py:448-710).
+
+The reference alternates per step between C++ simulator calls, numpy
+packing, `.cuda()` copies, and dict-keyed graph bookkeeping.  Here the whole
+episode — candidate lookup, panorama encoding, topological-map maintenance
+(episodic incremental Floyd–Warshall mirroring FloydGraph,
+models/graph_utils.py:43-89), navigation forward, teacher supervision,
+action selection and camera state — runs inside one `lax.scan` over fixed
+horizon T with static shapes.  The only host work per *batch* of episodes is
+assembling the final trajectories from recorded node sequences.
+
+State layout (all fixed capacity; N = node capacity, slot N is a write
+trash-can for masked scatters):
+  node_vp   [B, N+1]      local viewpoint index of node i (-1 empty)
+  visited   [B, N+1]      True once the agent has stood on the node
+  step_id   [B, N+1]      1 + step of (latest) visit (gmap.node_step_ids)
+  embed_sum [B, N+1, D], embed_cnt [B, N+1]   running node embeddings
+  stop_prob [B, N+1]      per-node stop probability (for backtrack)
+  edist/ehops/enext [B, N+1, N+1]  episodic shortest-path tables
+Token layout of the global map: [stop, MEM, node_0..node_{N-1}] (G = N+2),
+matching agent.py:175-186; slot 1 is the [MEM] token carrying the previous
+step's fused CLS embedding and is masked from attention (agent.py:209).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GoatConfig
+from ..core import geometry as G
+from ..models.goat import GoatModel
+from .world import NavWorld, INF_DIST
+
+IGNORE_ID = -100
+
+
+@dataclass(frozen=True)
+class RolloutConfig:
+    num_nodes: int = 48        # episodic graph capacity (gmap tokens = +2)
+    horizon: int = 15          # max_action_len (r2r parser default)
+    seg_len: int = 12          # max hops recorded per move
+    back_len: int = 16         # max hops of the final stop-backtrack
+    expert_policy: str = "spl"
+    feat_dim: int = 768
+    angle_feat_size: int = 4
+
+
+# 36x36 table: angle features of view v relative to base view b
+_PANO_ANG = None
+
+
+def pano_angle_table(angle_feat_size: int = 4) -> jnp.ndarray:
+    global _PANO_ANG
+    if _PANO_ANG is None or _PANO_ANG.shape[-1] != angle_feat_size:
+        rel_h = G.VIEW_HEADINGS[None, :] - G.VIEW_HEADINGS[:, None]
+        rel_e = G.VIEW_ELEVATIONS[None, :] - G.VIEW_ELEVATIONS[:, None]
+        _PANO_ANG = G.angle_feature_np(rel_h, rel_e, angle_feat_size)
+    # keep the cache in numpy — caching a jnp array created under a trace
+    # would leak tracers across jit boundaries
+    return jnp.asarray(_PANO_ANG)
+
+
+class NavRollout:
+    """Builds jitted rollout functions for a (model, world, config) triple."""
+
+    def __init__(self, model: GoatModel, world: NavWorld, rcfg: RolloutConfig):
+        self.model = model
+        self.world = world
+        self.rcfg = rcfg
+        self.mcfg: GoatConfig = model.config
+        self._jitted = {}
+
+    # ------------------------------------------------------------------
+    # episode initialisation
+    def init_state(self, batch) -> Dict[str, jnp.ndarray]:
+        r = self.rcfg
+        B = batch["scan_idx"].shape[0]
+        N1 = r.num_nodes + 1
+        D = self.mcfg.hidden_size
+        st = dict(
+            node_vp=jnp.full((B, N1), -1, jnp.int32),
+            n_nodes=jnp.ones((B,), jnp.int32),
+            visited=jnp.zeros((B, N1), bool),
+            step_id=jnp.zeros((B, N1), jnp.int32),
+            embed_sum=jnp.zeros((B, N1, D), jnp.float32),
+            embed_cnt=jnp.zeros((B, N1), jnp.float32),
+            stop_prob=jnp.full((B, N1), -jnp.inf, jnp.float32),
+            edist=jnp.full((B, N1, N1), INF_DIST, jnp.float32)
+                  * (1 - jnp.eye(N1)[None]),
+            ehops=jnp.zeros((B, N1, N1), jnp.float32),
+            enext=jnp.broadcast_to(jnp.arange(N1, dtype=jnp.int32)[None, None, :]
+                                   * jnp.eye(N1, dtype=jnp.int32)[None]
+                                   - (1 - jnp.eye(N1, dtype=jnp.int32)[None]),
+                                   (B, N1, N1)),
+            cur=jnp.zeros((B,), jnp.int32),
+            view_ix=batch["start_view"].astype(jnp.int32),
+            ended=jnp.zeros((B,), bool),
+            last_embeds=jnp.zeros((B, D), jnp.float32),
+        )
+        st["node_vp"] = st["node_vp"].at[:, 0].set(batch["start_vp"].astype(jnp.int32))
+        # arrival bookkeeping for the start node (EnvBatch.reset + update_graph)
+        st = self._arrive(st, batch, jnp.zeros((B,), jnp.int32),
+                          jnp.zeros((B,), bool))
+        return st
+
+    # ------------------------------------------------------------------
+    # graph update on arrival at node `arr` (GraphMap.update_graph,
+    # models/graph_utils.py:102-108: add_edge to all candidates + FW update)
+    def _arrive(self, st, batch, arr, skip):
+        w, r = self.world, self.rcfg
+        B = arr.shape[0]
+        bidx = jnp.arange(B)
+        N1 = r.num_nodes + 1
+        TRASH = r.num_nodes
+        scan = batch["scan_idx"]
+
+        act = ~skip
+        arr_vp = st["node_vp"][bidx, arr]
+        cands = w.get_cands(scan, arr_vp)            # each [B, K]
+        cmask = cands["mask"] & act[:, None]
+
+        # --- insert unseen candidate nodes into the node table
+        slot_valid = (jnp.arange(N1)[None, :] < st["n_nodes"][:, None])
+        known = jnp.where(slot_valid, st["node_vp"], -2)
+        match = known[:, None, :] == cands["local"][:, :, None]      # [B,K,N1]
+        exists = match.any(-1) & cmask
+        idx_exist = jnp.argmax(match, axis=-1).astype(jnp.int32)
+        isnew = cmask & ~exists
+        rank = jnp.cumsum(isnew, axis=1) - 1
+        idx_new = st["n_nodes"][:, None] + rank
+        overflow = idx_new >= r.num_nodes
+        cidx = jnp.where(exists, idx_exist,
+                         jnp.where(isnew & ~overflow, idx_new, TRASH)).astype(jnp.int32)
+        write = cmask & (cidx != TRASH)
+        node_vp = st["node_vp"].at[bidx[:, None], cidx].set(
+            jnp.where(write, cands["local"], st["node_vp"][bidx[:, None], cidx]))
+        n_nodes = st["n_nodes"] + jnp.sum(isnew & ~overflow, axis=1)
+
+        # --- add edges arr<->cand (FloydGraph.add_edge: keep if shorter)
+        edist, ehops, enext = st["edist"], st["ehops"], st["enext"]
+        d_k = cands["dist"]
+        old = edist[bidx[:, None], arr[:, None], cidx]
+        upd = write & (d_k < old)
+        nd = jnp.where(upd, d_k, old)
+        nh = jnp.where(upd, 1.0, ehops[bidx[:, None], arr[:, None], cidx])
+        nn_fwd = jnp.where(upd, cidx, enext[bidx[:, None], arr[:, None], cidx])
+        nn_bwd = jnp.where(upd, arr[:, None],
+                           enext[bidx[:, None], cidx, arr[:, None]])
+        edist = edist.at[bidx[:, None], arr[:, None], cidx].set(nd)
+        edist = edist.at[bidx[:, None], cidx, arr[:, None]].set(nd)
+        ehops = ehops.at[bidx[:, None], arr[:, None], cidx].set(nh)
+        ehops = ehops.at[bidx[:, None], cidx, arr[:, None]].set(nh)
+        enext = enext.at[bidx[:, None], arr[:, None], cidx].set(nn_fwd)
+        enext = enext.at[bidx[:, None], cidx, arr[:, None]].set(nn_bwd)
+
+        # --- one Floyd–Warshall relax through arr (FloydGraph.update)
+        dxc = edist[bidx, :, arr]        # [B, N1] x -> arr
+        dcy = edist[bidx, arr, :]        # [B, N1] arr -> y
+        cand_d = dxc[:, :, None] + dcy[:, None, :]
+        better = (cand_d < edist) & act[:, None, None]
+        hxc, hcy = ehops[bidx, :, arr], ehops[bidx, arr, :]
+        nxc = enext[bidx, :, arr]
+        edist = jnp.where(better, cand_d, edist)
+        ehops = jnp.where(better, hxc[:, :, None] + hcy[:, None, :], ehops)
+        enext = jnp.where(better, jnp.broadcast_to(nxc[:, :, None], enext.shape),
+                          enext)
+
+        visited = st["visited"].at[bidx, arr].set(st["visited"][bidx, arr] | act)
+        return {**st, "node_vp": node_vp, "n_nodes": jnp.where(act, n_nodes,
+                                                               st["n_nodes"]),
+                "visited": visited, "edist": edist, "ehops": ehops,
+                "enext": enext}
+
+    # ------------------------------------------------------------------
+    def _pano_inputs(self, st, batch):
+        """Build padded panorama tokens: [K candidate slots | 36 view slots]
+        (agent.py:86-149 packing, static-shape variant)."""
+        w, r = self.world, self.rcfg
+        B = st["cur"].shape[0]
+        bidx = jnp.arange(B)
+        scan = batch["scan_idx"]
+        cur_vp = st["node_vp"][bidx, st["cur"]]
+        feats = w.get_feat(scan, cur_vp)                 # [B, 36, Df]
+        cands = w.get_cands(scan, cur_vp)
+        K = cands["local"].shape[1]
+        vi = st["view_ix"]
+        cam_h = G.VIEW_HEADINGS[0] + (vi % 12).astype(jnp.float32) * (jnp.pi / 6)
+        cam_e = ((vi // 12).astype(jnp.float32) - 1.0) * (jnp.pi / 6)
+
+        cand_img = jnp.take_along_axis(feats, cands["ptid"][:, :, None], axis=1)
+        cand_ang = G.angle_feature_jnp(cands["heading"] - cam_h[:, None],
+                                       cands["elev"] - cam_e[:, None],
+                                       r.angle_feat_size)
+        view_img = feats                                  # [B, 36, Df]
+        view_ang = pano_angle_table(r.angle_feat_size)[vi]  # [B, 36, A]
+
+        img = jnp.concatenate([cand_img, view_img], axis=1).astype(jnp.float32)
+        ang = jnp.concatenate([cand_ang, view_ang], axis=1)
+        box = jnp.ones(ang.shape[:-1] + (3,), jnp.float32)
+        loc = jnp.concatenate([ang, box], axis=-1)
+
+        # mask out the views claimed by candidates (used_viewidxs,
+        # agent.py:99-119); pad slots scatter 0 via add (set would race)
+        used = jnp.zeros((B, 36), jnp.int32).at[bidx[:, None], cands["ptid"]].add(
+            cands["mask"].astype(jnp.int32)) > 0
+        view_mask = jnp.concatenate([cands["mask"], ~used], axis=1)
+        nav_types = jnp.concatenate(
+            [cands["mask"].astype(jnp.int32),
+             jnp.zeros((B, 36), jnp.int32)], axis=1)
+        return dict(img=img, loc=loc, nav_types=nav_types, mask=view_mask,
+                    cands=cands, cam_h=cam_h, cam_e=cam_e, cur_vp=cur_vp)
+
+    # ------------------------------------------------------------------
+    def _nav_inputs(self, st, batch, pano, pano_embeds):
+        """Assemble global-map + local-branch tensors (agent.py:151-304)."""
+        w, r = self.world, self.rcfg
+        c = self.mcfg
+        B = st["cur"].shape[0]
+        bidx = jnp.arange(B)
+        N, N1 = r.num_nodes, r.num_nodes + 1
+        scan = batch["scan_idx"]
+        D = c.hidden_size
+
+        nslot = jnp.arange(N)[None, :]
+        real = nslot < st["n_nodes"][:, None]            # [B, N]
+        node_vp = st["node_vp"][:, :N]
+        visited = st["visited"][:, :N] & real
+        cur = st["cur"]
+        cur_vp = pano["cur_vp"]
+
+        # node embeddings (sum/count average; graph_utils.py:110-121)
+        cnt = jnp.maximum(st["embed_cnt"][:, :N], 1.0)
+        node_embeds = st["embed_sum"][:, :N] / cnt[:, :, None]
+        gmap_img_embeds = jnp.concatenate([
+            jnp.zeros((B, 1, D)), st["last_embeds"][:, None, :], node_embeds],
+            axis=1)
+
+        # positions & episodic metrics relative to the current node
+        npos = w.pos[scan[:, None], node_vp]             # [B, N, 3]
+        cpos = w.pos[scan, cur_vp][:, None, :]
+        ed_cur = st["edist"][bidx, cur, :N]
+        eh_cur = st["ehops"][bidx, cur, :N]
+        cam_h, cam_e = pano["cam_h"], pano["cam_e"]
+        node_pos_fts = G.pos_features_jnp(
+            cpos, npos, cam_h[:, None], cam_e[:, None], ed_cur, eh_cur,
+            r.angle_feat_size)
+        # None-token features: angle fts of (0,0), zero dists
+        # (graph_utils.py:127-130)
+        null_ft = jnp.tile(jnp.asarray([0., 1., 0., 1., 0., 0., 0.],
+                                       jnp.float32)[None, None, :], (B, 2, 1))
+        gmap_pos_fts = jnp.concatenate([null_ft, node_pos_fts], axis=1)
+
+        gmap_step_ids = jnp.concatenate(
+            [jnp.zeros((B, 2), jnp.int32), st["step_id"][:, :N] * real], axis=1)
+        gmap_masks = jnp.concatenate(
+            [jnp.ones((B, 1), bool), jnp.zeros((B, 1), bool), real], axis=1)
+        gmap_visited = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), jnp.ones((B, 1), bool), visited], axis=1)
+
+        pair = st["edist"][:, :N, :N]
+        pair = jnp.where(real[:, :, None] & real[:, None, :]
+                         & (pair < INF_DIST * 0.5), pair, 0.0)
+        Gtok = N + 2
+        gmap_pair_dists = jnp.zeros((B, Gtok, Gtok)).at[:, 2:, 2:].set(pair)
+
+        # ---- local branch (agent.py:266-304) ----
+        cands = pano["cands"]
+        K = cands["local"].shape[1]
+        vp_img_embeds = jnp.concatenate([
+            jnp.zeros((B, 1, D)), st["last_embeds"][:, None, :], pano_embeds],
+            axis=1)
+        L = vp_img_embeds.shape[1]
+
+        # candidate gmap slots: node index of each candidate (all candidates
+        # are in the node table after _arrive)
+        known = jnp.where(real, node_vp, -2)
+        cmatch = known[:, None, :] == cands["local"][:, :, None]     # [B,K,N]
+        has = cmatch.any(-1) & cands["mask"]
+        cnode = jnp.argmax(cmatch, -1).astype(jnp.int32)
+        local_to_gmap = jnp.full((B, L), -1, jnp.int32)
+        local_to_gmap = local_to_gmap.at[:, 2:2 + K].set(
+            jnp.where(has, cnode + 2, -1))
+
+        # vp_pos_fts: [:, :7] start-node relative, [2:2+K, 7:] candidates
+        start_pos = w.pos[scan, batch["start_vp"]]
+        sd = st["edist"][bidx, cur, 0]
+        sh = st["ehops"][bidx, cur, 0]
+        start_ft = G.pos_features_jnp(w.pos[scan, cur_vp], start_pos, cam_h,
+                                      cam_e, sd, sh, r.angle_feat_size)
+        cand_pos = w.pos[scan[:, None], cands["local"]]
+        cd = st["edist"][bidx[:, None], cur[:, None], cnode]
+        ch = st["ehops"][bidx[:, None], cur[:, None], cnode]
+        cand_ft = G.pos_features_jnp(
+            w.pos[scan, cur_vp][:, None], cand_pos, cam_h[:, None],
+            cam_e[:, None], cd, ch, r.angle_feat_size)
+        cand_ft = jnp.where(cands["mask"][..., None], cand_ft, 0.0)
+        A7 = r.angle_feat_size + 3
+        vp_pos_fts = jnp.zeros((B, L, 2 * A7))
+        vp_pos_fts = vp_pos_fts.at[:, :, :A7].set(start_ft[:, None, :])
+        vp_pos_fts = vp_pos_fts.at[:, 2:2 + K, A7:].set(cand_ft)
+
+        vp_masks = jnp.concatenate([jnp.ones((B, 2), bool), pano["mask"]], axis=1)
+        vp_nav_masks = jnp.concatenate(
+            [jnp.ones((B, 1), bool), jnp.zeros((B, 1), bool), cands["mask"],
+             jnp.zeros((B, 36), bool)], axis=1)
+
+        no_vp_left = ~jnp.any(real & ~visited, axis=1)
+
+        return dict(
+            gmap_img_embeds=gmap_img_embeds, gmap_step_ids=gmap_step_ids,
+            gmap_pos_fts=gmap_pos_fts, gmap_masks=gmap_masks,
+            gmap_pair_dists=gmap_pair_dists, gmap_visited_masks=gmap_visited,
+            vp_img_embeds=vp_img_embeds, vp_pos_fts=vp_pos_fts,
+            vp_masks=vp_masks, vp_nav_masks=vp_nav_masks,
+            local_to_gmap=local_to_gmap,
+        ), dict(real=real, visited=visited, node_vp=node_vp,
+                no_vp_left=no_vp_left, cnode=cnode, has=has)
+
+    # ------------------------------------------------------------------
+    def _teacher(self, st, batch, aux, t, imitation):
+        """Expert action in gmap-token space (agent.py:306-349)."""
+        w, r = self.world, self.rcfg
+        B = st["cur"].shape[0]
+        bidx = jnp.arange(B)
+        scan = batch["scan_idx"]
+        cur_vp = st["node_vp"][bidx, st["cur"]]
+        goal = batch["gt_path"][bidx, batch["gt_len"] - 1]
+
+        if imitation:
+            is_last = t >= batch["gt_len"] - 1
+            nxt = batch["gt_path"][bidx, jnp.minimum(t + 1,
+                                                     batch["gt_len"] - 1)]
+            match = (aux["node_vp"] == nxt[:, None]) & aux["real"]
+            slot = jnp.argmax(match, axis=1).astype(jnp.int32) + 2
+            found = match.any(1)
+            a = jnp.where(is_last, 0, jnp.where(found, slot, IGNORE_ID))
+        else:
+            # SPL expert: nearest-to-goal unvisited node by
+            # dist(cur->node)+dist(node->goal) over the full scan graph
+            node_vp = aux["node_vp"]
+            d_goal = w.dist[scan[:, None], node_vp, goal[:, None]]
+            d_cur = w.dist[scan[:, None], cur_vp[:, None], node_vp]
+            cost = d_goal + d_cur
+            cand = aux["real"] & ~aux["visited"]
+            cost = jnp.where(cand, cost, jnp.inf)
+            best = jnp.argmin(cost, axis=1).astype(jnp.int32) + 2
+            any_cand = jnp.isfinite(cost).any(1)
+            arrived = cur_vp == goal
+            a = jnp.where(arrived, 0, jnp.where(any_cand, best, IGNORE_ID))
+        a = jnp.where(st["ended"], IGNORE_ID, a)
+        return a
+
+    # ------------------------------------------------------------------
+    def _expand_path(self, st, tgt_node, length, max_len):
+        """Follow episodic next-hop pointers cur -> tgt (FloydGraph.path)."""
+        B = st["cur"].shape[0]
+        bidx = jnp.arange(B)
+
+        def body(i, carry):
+            p, out, prev = carry
+            nxt = st["enext"][bidx, p, tgt_node]
+            nxt = jnp.where(nxt < 0, p, nxt)
+            out = out.at[:, i].set(nxt)
+            prev = jnp.where(nxt != p, p, prev)
+            return (nxt, out, prev)
+
+        out = jnp.full((B, max_len), -1, jnp.int32)
+        p, out, prev = jax.lax.fori_loop(
+            0, max_len, body, (st["cur"], out, st["cur"]))
+        return out, prev
+
+    # ------------------------------------------------------------------
+    def build_rollout(self, feedback: str = "argmax", train_ml: bool = False,
+                      deterministic: bool = True):
+        """Returns rollout(params, batch, rng) -> outputs dict.  `feedback`
+        in {teacher, sample, argmax} (agent.py:624-647)."""
+        model, w, r, c = self.model, self.world, self.rcfg, self.mcfg
+
+        def apply(params, rng, method, *args, **kw):
+            kw["deterministic"] = deterministic
+            if deterministic:
+                return model.apply(params, *args, method=method, **kw)
+            return model.apply(params, *args, method=method,
+                               rngs={"dropout": rng}, **kw)
+
+        def rollout(params, batch, rng):
+            B = batch["scan_idx"].shape[0]
+            bidx = jnp.arange(B)
+            rng_txt, rng_loop = jax.random.split(rng)
+
+            txt_embeds = apply(params, rng_txt, GoatModel.forward_text,
+                               batch["txt_ids"], batch["txt_masks"])
+            txt_masks = batch["txt_masks"]
+
+            st = self.init_state(batch)
+
+            def step(st, xs):
+                t, rng_t = xs
+                rp, rn = jax.random.split(jax.random.fold_in(rng_loop, t), 2)
+                act = ~st["ended"]
+
+                # step bookkeeping: step_id[cur] = t + 1
+                st = {**st, "step_id": st["step_id"].at[bidx, st["cur"]].set(
+                    jnp.where(act, t + 1, st["step_id"][bidx, st["cur"]]))}
+
+                pano = self._pano_inputs(st, batch)
+                pano_embeds, pano_masks, pano_fused = apply(
+                    params, rp, GoatModel.forward_panorama,
+                    pano["img"], pano["loc"], pano["nav_types"], pano["mask"])
+                if pano_fused is None:  # avg fallback (agent.py:550-552)
+                    m = pano_masks[..., None].astype(pano_embeds.dtype)
+                    pano_fused = (jnp.sum(pano_embeds * m, 1)
+                                  / jnp.maximum(jnp.sum(m, 1), 1.0))
+
+                # node embedding updates (agent.py:556-564)
+                N = r.num_nodes
+                cands = pano["cands"]
+                K = cands["local"].shape[1]
+                # current node: rewrite with fused embedding
+                es = st["embed_sum"].at[bidx, st["cur"]].set(
+                    jnp.where(act[:, None], pano_fused,
+                              st["embed_sum"][bidx, st["cur"]]))
+                ec = st["embed_cnt"].at[bidx, st["cur"]].set(
+                    jnp.where(act, 1.0, st["embed_cnt"][bidx, st["cur"]]))
+                st = {**st, "embed_sum": es, "embed_cnt": ec}
+                # candidates: accumulate unless already visited
+                known = jnp.where(
+                    jnp.arange(N + 1)[None, :] < st["n_nodes"][:, None],
+                    st["node_vp"], -2)
+                cmatch = known[:, None, :] == cands["local"][:, :, None]
+                cnode = jnp.argmax(cmatch, -1).astype(jnp.int32)
+                cand_vis = st["visited"][bidx[:, None], cnode]
+                add = cands["mask"] & ~cand_vis & act[:, None] & cmatch.any(-1)
+                tgt = jnp.where(add, cnode, r.num_nodes)
+                st = {**st,
+                      "embed_sum": st["embed_sum"].at[bidx[:, None], tgt].add(
+                          jnp.where(add[..., None], pano_embeds[:, :K], 0.0)),
+                      "embed_cnt": st["embed_cnt"].at[bidx[:, None], tgt].add(
+                          add.astype(jnp.float32))}
+
+                nav_in, aux = self._nav_inputs(st, batch, pano, pano_embeds)
+                outs = apply(params, rn, GoatModel.forward_navigation,
+                             txt_embeds, txt_masks, **nav_in)
+                logits = outs["fused_logits"]
+                st = {**st, "last_embeds": jnp.where(
+                    act[:, None], outs["cls_embeds"], st["last_embeds"])}
+
+                probs = jax.nn.softmax(logits, axis=1)
+                st = {**st, "stop_prob": st["stop_prob"].at[bidx, st["cur"]].set(
+                    jnp.where(act, probs[:, 0], st["stop_prob"][bidx, st["cur"]]))}
+
+                # supervision
+                target = self._teacher(st, batch, aux, t,
+                                       imitation=(feedback == "teacher"))
+                if train_ml:
+                    logp = jax.nn.log_softmax(logits, axis=1)
+                    tgt_ok = target >= 0
+                    li = jnp.take_along_axis(
+                        logp, jnp.maximum(target, 0)[:, None], axis=1)[:, 0]
+                    step_loss = -jnp.sum(jnp.where(tgt_ok, li, 0.0))
+                else:
+                    step_loss = jnp.zeros(())
+
+                # action selection
+                if feedback == "teacher":
+                    a = jnp.maximum(target, 0)
+                elif feedback == "argmax":
+                    a = jnp.argmax(logits, axis=1).astype(jnp.int32)
+                elif feedback == "sample":
+                    a = jax.random.categorical(
+                        jax.random.fold_in(rng_t, 7), logits, axis=1
+                    ).astype(jnp.int32)
+                else:
+                    raise ValueError(feedback)
+
+                # stop determination (agent.py:649-662)
+                cur_vp = pano["cur_vp"]
+                goal = batch["gt_path"][bidx, batch["gt_len"] - 1]
+                if feedback in ("teacher", "sample"):
+                    a_stop = cur_vp == goal
+                else:
+                    a_stop = a == 0
+                just_ended = act & (a_stop | aux["no_vp_left"]
+                                    | (t == r.horizon - 1))
+                moves = act & ~just_ended
+                tgt_node = jnp.clip(a - 2, 0, r.num_nodes - 1)
+
+                # record trajectory segment (episodic path cur -> action)
+                seg, prev = self._expand_path(st, tgt_node, None, r.seg_len)
+                seg = jnp.where(moves[:, None], seg, -1)
+                seg_hops = jnp.where(
+                    moves, st["ehops"][bidx, st["cur"], tgt_node], 0.0)
+
+                # camera update: view index of the arrival edge prev->action
+                scan = batch["scan_idx"]
+                prev_vp = st["node_vp"][bidx, prev]
+                pc = w.get_cands(scan, prev_vp)
+                pk = jnp.argmax(
+                    (pc["local"] == st["node_vp"][bidx, tgt_node][:, None])
+                    & pc["mask"], axis=1)
+                new_view = pc["ptid"][bidx, pk]
+                st = {**st,
+                      "view_ix": jnp.where(moves, new_view, st["view_ix"]),
+                      "cur": jnp.where(moves, tgt_node, st["cur"]),
+                      "ended": st["ended"] | just_ended}
+
+                # arrival graph update for movers
+                st = self._arrive(st, batch, st["cur"], skip=~moves)
+
+                rec = dict(action_node=jnp.where(moves, tgt_node, -1),
+                           seg=seg, seg_hops=seg_hops,
+                           target=target, logits_stop=logits[:, 0],
+                           just_ended=just_ended, loss=step_loss)
+                return st, rec
+
+            xs = (jnp.arange(r.horizon),
+                  jax.random.split(rng_loop, r.horizon))
+            # rematerialize each step during training: the backward through
+            # T=15 full model forwards recomputes instead of storing
+            # activations (HBM is the bottleneck, FLOPs are cheap)
+            body = jax.checkpoint(step) if train_ml else step
+            st, recs = jax.lax.scan(body, st, xs)
+
+            # final stop-node backtrack (agent.py:666-681)
+            best_stop = jnp.argmax(st["stop_prob"][:, :r.num_nodes],
+                                   axis=1).astype(jnp.int32)
+            back, _ = self._expand_path(st, best_stop, None, r.back_len)
+            do_back = best_stop != st["cur"]
+            back = jnp.where(do_back[:, None], back, -1)
+
+            out = dict(
+                ml_loss=jnp.sum(recs["loss"]) / B,
+                actions=recs["action_node"], segs=recs["seg"],
+                seg_hops=recs["seg_hops"], targets=recs["target"],
+                node_vp=st["node_vp"], stop_node=best_stop,
+                back_seg=back, back_hops=st["ehops"][bidx, st["cur"], best_stop],
+                final_cur=st["cur"], n_nodes=st["n_nodes"],
+            )
+            return out
+
+        return rollout
+
+    def jitted(self, feedback="argmax", train_ml=False, deterministic=True):
+        key = (feedback, train_ml, deterministic)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(
+                self.build_rollout(feedback, train_ml, deterministic))
+        return self._jitted[key]
+
+
+# ----------------------------------------------------------------------
+def assemble_trajectories(batch_np: Dict[str, np.ndarray],
+                          out_np: Dict[str, np.ndarray],
+                          include_backtrack: bool = True) -> list:
+    """Host-side: recorded node segments -> predicted paths of local vp ids
+    (list of lists, matching traj[i]['path'] flattened)."""
+    T, B, P = out_np["segs"].shape
+    node_vp = out_np["node_vp"]
+    paths = []
+    for b in range(B):
+        path = [int(batch_np["start_vp"][b])]
+        for t in range(T):
+            hops = int(out_np["seg_hops"][t, b])
+            for i in range(min(hops, P)):
+                n = out_np["segs"][t, b, i]
+                if n < 0:
+                    break
+                path.append(int(node_vp[b, n]))
+        if include_backtrack:
+            hops = int(out_np["back_hops"][b])
+            for i in range(min(hops, out_np["back_seg"].shape[1])):
+                n = out_np["back_seg"][b, i]
+                if n < 0:
+                    break
+                path.append(int(node_vp[b, n]))
+        paths.append(path)
+    return paths

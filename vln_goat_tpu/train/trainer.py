@@ -1,0 +1,104 @@
+"""Fine-tuning train step: IL / DAgger over the scan-compiled rollout.
+
+Reference semantics (map_nav_src/r2r/agent.py:422-445, agent_base.py:154-203):
+- 'imitation': one teacher-forced rollout, weight 1.
+- 'dagger': teacher rollout at ml_weight (0.2) + on-policy sampled rollout at
+  weight 1, both imitation-loss only (no RL loss is ever computed in the
+  reference: the Critic exists but rollout only accumulates IL loss,
+  agent.py:614-621).
+- loss: sum-CE over steps/batch divided by batch size (criterion
+  reduction='sum', agent_base.py:133; scaling agent.py:696-699).
+- grad clip 40 (agent_base.py:193), AdamW lr 1e-5/2e-5.
+
+TPU-native: the whole update (two rollouts + backward + optimizer) is one
+jitted function; under a ('dp',) mesh the batch is sharded and XLA derives
+the gradient all-reduce.  Rollout model calls are rematerialized
+(jax.checkpoint) so the 15-step backward fits comfortably in HBM.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..rollout.rollout import NavRollout
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.params, self.opt_state, self.step), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+
+jax.tree_util.register_pytree_node_class(TrainState)
+
+
+def make_optimizer(lr: float = 2e-5, weight_decay: float = 0.0,
+                   grad_clip: float = 40.0,
+                   warmup_steps: int = 0, total_steps: Optional[int] = None):
+    """AdamW + global-norm clip (reference defaults)."""
+    if warmup_steps and total_steps:
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, lr, warmup_steps, total_steps, end_value=lr * 0.01)
+    else:
+        sched = lr
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8,
+                    weight_decay=weight_decay),
+    )
+
+
+def make_train_step(rollout: NavRollout, tx,
+                    train_alg: str = "dagger", ml_weight: float = 0.2):
+    teacher_fn = rollout.build_rollout("teacher", train_ml=True,
+                                      deterministic=False)
+    sample_fn = rollout.build_rollout("sample", train_ml=True,
+                                     deterministic=False)
+
+    def loss_fn(params, batch, rng):
+        r1, r2 = jax.random.split(rng)
+        loss = jnp.zeros(())
+        metrics = {}
+        if train_alg == "imitation":
+            out = teacher_fn(params, batch, r1)
+            loss = out["ml_loss"]
+            metrics["il_loss"] = out["ml_loss"]
+        elif train_alg == "dagger":
+            if ml_weight != 0:
+                out_t = teacher_fn(params, batch, r1)
+                loss = loss + ml_weight * out_t["ml_loss"]
+                metrics["il_loss"] = out_t["ml_loss"]
+            out_s = sample_fn(params, batch, r2)
+            loss = loss + out_s["ml_loss"]
+            metrics["sample_loss"] = out_s["ml_loss"]
+        else:
+            raise ValueError(train_alg)
+        return loss, metrics
+
+    def train_step(state: TrainState, batch, rng):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def init_train_state(params, tx) -> TrainState:
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
