@@ -1,0 +1,242 @@
+"""Checkpoint interop: reference torch `.pt` <-> flax params, plus Orbax
+save/load for native checkpoints.
+
+The reference's checkpoint surface (SURVEY.md section 5 checkpoint/resume):
+- fine-tune saves {'vln_bert': {'epoch': N, 'state_dict': {...}}} where keys
+  look like `vln_bert.embeddings.word_embeddings.weight`, optionally behind
+  a `module.` DDP prefix (agent_base.py:205-253);
+- pretrain saves a flat state dict (utils/save.py:23-71);
+- init-time key surgery maps pretrain keys `vln_bert.*` -> `bert.*`, strips
+  `module.`, and re-homes head keys (vlnbert_init.py:52-69).
+
+Mapping rules torch -> flax (names were chosen in models/ to make this
+mechanical):
+- numeric segments merge into their parent: `layer.0.x` -> `layer_0.x`
+  (covers ModuleLists, nn.Sequential like ClsPrediction's net.0/net.2/net.3
+  and vp_pos_embeddings.0/1);
+- Linear: weight -> kernel (transposed), bias -> bias;
+- LayerNorm (1-D weight) -> scale/bias;
+- Embedding tables (known names) -> embedding (no transpose);
+- torch nn.MultiheadAttention in the DETR pano encoder: in_proj_weight/bias
+  split into thirds -> q_proj/k_proj/v_proj, out_proj -> out_proj.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+EMBEDDING_TABLES = {
+    "word_embeddings", "position_embeddings", "token_type_embeddings",
+    "gmap_step_embeddings", "nav_type_embedding", "obj_name_linear",
+}
+
+# raw nn.Parameter leaves (not Linear/LN): keep as-is
+RAW_PARAMS = {"tim_global_attn", "tim_local_attn", "tim_txt_attn"}
+
+
+def strip_prefixes(key: str) -> Optional[str]:
+    """Normalize reference key prefixes (agent_base.py:232-246,
+    vlnbert_init.py:56-69). Returns None for keys we drop (buffers)."""
+    if key.startswith("module."):
+        key = key[len("module."):]
+    if key.startswith("vln_bert.bert."):
+        key = key[len("vln_bert.bert."):]
+    elif key.startswith("vln_bert."):
+        key = key[len("vln_bert."):]
+    elif key.startswith("bert."):
+        key = key[len("bert."):]
+    if key in ("embeddings.position_ids", "embeddings.token_type_ids"):
+        return None  # registered buffers, not params
+    if key.startswith("drop_env"):
+        return None
+    return key
+
+
+def _merge_numeric(parts):
+    out = []
+    for p in parts:
+        if re.fullmatch(r"\d+", p) and out:
+            out[-1] = f"{out[-1]}_{p}"
+        else:
+            out.append(p)
+    return out
+
+
+def _set(tree: Dict, path, value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def torch_to_flax(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference state dict (numpy-valued) -> flax {'params': ...} tree."""
+    params: Dict[str, Any] = {}
+    pending_inproj: Dict[tuple, Dict[str, np.ndarray]] = {}
+
+    for key, val in state_dict.items():
+        key = strip_prefixes(key)
+        if key is None:
+            continue
+        val = np.asarray(val)
+        parts = _merge_numeric(key.split("."))
+
+        leaf = parts[-1]
+        mod = parts[-2] if len(parts) >= 2 else ""
+
+        if leaf in RAW_PARAMS or (len(parts) == 1):
+            _set(params, parts, jnp.asarray(val))
+            continue
+
+        if leaf in ("in_proj_weight", "in_proj_bias"):
+            # torch MultiheadAttention packed qkv
+            base = tuple(parts[:-1])
+            pending_inproj.setdefault(base, {})[leaf] = val
+            continue
+
+        if leaf == "weight":
+            if mod in EMBEDDING_TABLES:
+                _set(params, parts[:-1] + ["embedding"], jnp.asarray(val))
+            elif val.ndim == 1:  # LayerNorm
+                _set(params, parts[:-1] + ["scale"], jnp.asarray(val))
+            else:               # Linear
+                _set(params, parts[:-1] + ["kernel"], jnp.asarray(val.T))
+        elif leaf == "bias":
+            _set(params, parts[:-1] + ["bias"], jnp.asarray(val))
+        else:
+            _set(params, parts, jnp.asarray(val))
+
+    for base, d in pending_inproj.items():
+        w, b = d.get("in_proj_weight"), d.get("in_proj_bias")
+        D = w.shape[0] // 3
+        for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+            _set(params, list(base) + [name, "kernel"],
+                 jnp.asarray(w[i * D:(i + 1) * D].T))
+            if b is not None:
+                _set(params, list(base) + [name, "bias"],
+                     jnp.asarray(b[i * D:(i + 1) * D]))
+    return {"params": params}
+
+
+def _walk(tree, prefix=()):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _walk(v, prefix + (k,))
+        else:
+            yield prefix + (k,), v
+
+
+def flax_to_torch(variables: Dict[str, Any], add_prefix: str = "vln_bert."
+                  ) -> Dict[str, np.ndarray]:
+    """flax {'params': ...} -> reference-style torch state dict (numpy)."""
+    out: Dict[str, np.ndarray] = {}
+    qkv: Dict[str, Dict[str, np.ndarray]] = {}
+    for path, val in _walk(variables["params"]):
+        val = np.asarray(val)
+        parts = [re.sub(r"_(\d+)$", r".\1", p) for p in path]
+        leaf = parts[-1]
+        mod = parts[-2] if len(parts) >= 2 else ""
+        mod_base = mod.split(".")[-1] if "." in mod else mod
+
+        if leaf in ("q_proj", "k_proj", "v_proj"):
+            pass  # handled below via full leaf path
+        if leaf == "kernel":
+            if mod_base in ("q_proj", "k_proj", "v_proj"):
+                base = ".".join(parts[:-2])
+                qkv.setdefault(base, {})[mod_base + ".weight"] = val.T
+                continue
+            out[".".join(parts[:-1]) + ".weight"] = val.T
+        elif leaf == "scale":
+            out[".".join(parts[:-1]) + ".weight"] = val
+        elif leaf == "embedding":
+            out[".".join(parts[:-1]) + ".weight"] = val
+        elif leaf == "bias":
+            if mod_base in ("q_proj", "k_proj", "v_proj"):
+                base = ".".join(parts[:-2])
+                qkv.setdefault(base, {})[mod_base + ".bias"] = val
+                continue
+            out[".".join(parts[:-1]) + ".bias"] = val
+        else:
+            out[".".join(parts)] = val
+
+    for base, d in qkv.items():
+        if all(f"{n}.weight" in d for n in ("q_proj", "k_proj", "v_proj")):
+            out[base + ".in_proj_weight"] = np.concatenate(
+                [d["q_proj.weight"], d["k_proj.weight"], d["v_proj.weight"]], 0)
+        if all(f"{n}.bias" in d for n in ("q_proj", "k_proj", "v_proj")):
+            out[base + ".in_proj_bias"] = np.concatenate(
+                [d["q_proj.bias"], d["k_proj.bias"], d["v_proj.bias"]], 0)
+    return {add_prefix + k: v for k, v in out.items()}
+
+
+def load_reference_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a reference .pt (fine-tune wrapper dict or flat pretrain dict)
+    into a numpy state dict."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "vln_bert" in ckpt and \
+            isinstance(ckpt["vln_bert"], dict) and "state_dict" in ckpt["vln_bert"]:
+        sd = ckpt["vln_bert"]["state_dict"]
+    elif isinstance(ckpt, dict) and "state_dict" in ckpt:
+        sd = ckpt["state_dict"]
+    else:
+        sd = ckpt
+    return {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+            for k, v in sd.items()}
+
+
+def merge_loaded(init_params: Dict[str, Any], loaded: Dict[str, Any],
+                 strict: bool = False):
+    """Overlay loaded params onto an init tree (the reference tolerates
+    missing/extra keys at load, agent_base.py:238-253)."""
+    missing, extra = [], []
+
+    def rec(dst, src, prefix=""):
+        for k, v in src.items():
+            if k not in dst:
+                extra.append(prefix + k)
+                continue
+            if isinstance(v, dict):
+                rec(dst[k], v, prefix + k + "/")
+            else:
+                if dst[k].shape != v.shape:
+                    extra.append(f"{prefix}{k} (shape {v.shape} != {dst[k].shape})")
+                else:
+                    dst[k] = v
+
+    import copy
+    out = copy.deepcopy(init_params)
+    rec(out["params"], loaded["params"])
+
+    def find_missing(dst, src, prefix=""):
+        for k, v in dst.items():
+            if k not in src:
+                missing.append(prefix + k)
+            elif isinstance(v, dict):
+                find_missing(v, src.get(k, {}), prefix + k + "/")
+
+    find_missing(out["params"], loaded["params"])
+    if strict and (missing or extra):
+        raise ValueError(f"missing={missing}, extra={extra}")
+    return out, missing, extra
+
+
+# ----------------------------------------------------------------------
+# Orbax native checkpoints
+def save_orbax(path: str, state: Any):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_orbax(path: str, like: Any) -> Any:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, like)
