@@ -75,6 +75,51 @@ def eval_item(dist: np.ndarray, pred_path: Sequence[int],
     return s
 
 
+def reverie_eval_item(dist: np.ndarray, pred_path: Sequence[int],
+                      pred_objid, gt_path: Sequence[int],
+                      goal_viewpoints: Sequence[int],
+                      gt_objid) -> Dict[str, float]:
+    """REVERIE metrics (reverie/env.py:530-553): success = stopping at a
+    viewpoint from which the target object is visible; RGS = grounding the
+    right object id; SPL/RGSPL path-length weighted."""
+    path = list(pred_path)
+    goals = set(int(g) for g in goal_viewpoints)
+    s = {}
+    s["trajectory_steps"] = len(path) - 1
+    s["trajectory_lengths"] = float(np.sum(dist[np.asarray(path[:-1]),
+                                                np.asarray(path[1:])])) \
+        if len(path) > 1 else 0.0
+    gt_lengths = float(np.sum(dist[np.asarray(gt_path[:-1]),
+                                   np.asarray(gt_path[1:])])) \
+        if len(gt_path) > 1 else 0.0
+    s["success"] = float(path[-1] in goals)
+    s["oracle_success"] = float(any(x in goals for x in path))
+    s["spl"] = s["success"] * gt_lengths / max(s["trajectory_lengths"],
+                                               gt_lengths, 0.01)
+    # NOTE the reference scores RGS purely on the object id, independent of
+    # navigation success (reverie/env.py:551)
+    s["rgs"] = float(str(pred_objid) == str(gt_objid))
+    s["rgspl"] = s["rgs"] * gt_lengths / max(s["trajectory_lengths"],
+                                             gt_lengths, 0.01)
+    return s
+
+
+def reverie_eval_metrics(per_item: List[Dict[str, float]]) -> Dict[str, float]:
+    m = defaultdict(list)
+    for s in per_item:
+        for k, v in s.items():
+            m[k].append(v)
+    return {
+        "steps": float(np.mean(m["trajectory_steps"])),
+        "lengths": float(np.mean(m["trajectory_lengths"])),
+        "sr": float(np.mean(m["success"]) * 100),
+        "oracle_sr": float(np.mean(m["oracle_success"]) * 100),
+        "spl": float(np.mean(m["spl"]) * 100),
+        "rgs": float(np.mean(m["rgs"]) * 100),
+        "rgspl": float(np.mean(m["rgspl"]) * 100),
+    }
+
+
 def eval_metrics(per_item: List[Dict[str, float]]) -> Dict[str, float]:
     """Aggregate (r2r/env.py:492-520)."""
     m = defaultdict(list)

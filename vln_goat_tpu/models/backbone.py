@@ -30,29 +30,38 @@ Dtype = Any
 
 
 class RobertaEmbeddings(nn.Module):
+    """setup-style so the MLM head can tie to `word_embeddings.embedding`
+    (pretrain_goat.py:86-89)."""
+
     config: GoatConfig
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        c = self.config
+        self.word_embeddings = nn.Embed(c.vocab_size, c.hidden_size,
+                                        name="word_embeddings", dtype=self.dtype)
+        self.position_embeddings = nn.Embed(
+            c.max_position_embeddings, c.hidden_size,
+            name="position_embeddings", dtype=self.dtype)
+        self.token_type_embeddings = nn.Embed(
+            c.type_vocab_size, c.hidden_size, name="token_type_embeddings",
+            dtype=self.dtype)
+        self.LayerNorm = nn.LayerNorm(epsilon=c.layer_norm_eps,
+                                      name="LayerNorm", dtype=self.dtype)
+        self.dropout = nn.Dropout(c.hidden_dropout_prob)
+
     def __call__(self, input_ids, token_type_ids=None, position_ids=None,
                  deterministic=True):
-        c = self.config
         B, L = input_ids.shape
         if position_ids is None:
             position_ids = jnp.broadcast_to(jnp.arange(L)[None, :], (B, L))
         if token_type_ids is None:
             token_type_ids = jnp.zeros_like(input_ids)
-        words = nn.Embed(c.vocab_size, c.hidden_size, name="word_embeddings",
-                         dtype=self.dtype)(input_ids)
-        pos = nn.Embed(c.max_position_embeddings, c.hidden_size,
-                       name="position_embeddings", dtype=self.dtype)(position_ids)
-        typ = nn.Embed(c.type_vocab_size, c.hidden_size,
-                       name="token_type_embeddings", dtype=self.dtype)(token_type_ids)
-        h = words + typ + pos
-        h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="LayerNorm",
-                         dtype=self.dtype)(h)
-        h = nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
-        return h
+        h = (self.word_embeddings(input_ids)
+             + self.token_type_embeddings(token_type_ids)
+             + self.position_embeddings(position_ids))
+        h = self.LayerNorm(h)
+        return self.dropout(h, deterministic=deterministic)
 
 
 class LanguageEncoder(nn.Module):
@@ -159,6 +168,19 @@ class LanguageEncoderDo(nn.Module):
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="z_concat_layernorm",
                          dtype=self.dtype)(h)
         return h
+
+
+class BertOnlyMLMHead(nn.Module):
+    """MLM head wrapper keeping the reference's `predictions` scope
+    (Bert_backbone.py:902-909)."""
+
+    config: GoatConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, shared_embedding: Optional[jnp.ndarray] = None):
+        return BertLMPredictionHead(self.config, self.dtype,
+                                    name="predictions")(hidden, shared_embedding)
 
 
 class BertLMPredictionHead(nn.Module):

@@ -98,9 +98,11 @@ class GlobalMapEncoder(nn.Module):
 
 
 def fuse_logits(global_logits, local_logits, gmap_masks, gmap_visited_masks,
-                vp_nav_masks, local_to_gmap):
+                vp_nav_masks, local_to_gmap, first_cand_slot: int = 2,
+                first_gmap_slot: int = 2):
     """Batched replacement for the fused-logits python scatter
-    (vilmodel_GOAT.py:794-813).
+    (vilmodel_GOAT.py:794-813; pretrain twin pretrain_goat.py:329-345 uses
+    first_cand_slot=first_gmap_slot=1 — no [MEM] token there).
 
     Args:
       global_logits: [B, G] fuse-weighted global branch scores (pre-mask).
@@ -125,8 +127,8 @@ def fuse_logits(global_logits, local_logits, gmap_masks, gmap_visited_masks,
     masked_global = jnp.where(gmap_masks, masked_global, NEG_INF)
     masked_local = jnp.where(vp_nav_masks, local_logits, NEG_INF)
 
-    # candidate slots are j >= 2 with a valid mapping
-    is_cand = (lslot >= 2) & (local_to_gmap >= 0) & vp_nav_masks
+    # candidate slots are j >= first_cand_slot with a valid mapping
+    is_cand = (lslot >= first_cand_slot) & (local_to_gmap >= 0) & vp_nav_masks
     lv = jnp.where(is_cand, local_logits, 0.0)
     tgt = jnp.clip(local_to_gmap, 0, G - 1)
     onehot = jax.nn.one_hot(tgt, G, dtype=lv.dtype) * is_cand[..., None]
@@ -137,7 +139,7 @@ def fuse_logits(global_logits, local_logits, gmap_masks, gmap_visited_masks,
     has_direct = jnp.einsum("bl,blg->bg",
                             (is_cand & ~cand_visited).astype(lv.dtype), onehot) > 0
 
-    unvis = (slot >= 2) & ~gmap_visited_masks & gmap_masks
+    unvis = (slot >= first_gmap_slot) & ~gmap_visited_masks & gmap_masks
     fused = masked_global + jnp.where(
         unvis, jnp.where(has_direct, direct, bw[:, None]), 0.0)
     # stop logit: fused[:,0] += local[:,0]
@@ -308,7 +310,59 @@ class GoatModel(nn.Module):
         }
 
     # ------------------------------------------------------------------
-    # mode: 'extract_cfp_features' pooling heads (vilmodel_GOAT.py:885-926)
+    # mode: 'extract_cfp_features' (vilmodel_GOAT.py:885-926): trajectory
+    # encode with tim self-encoders, then attention-pooled txt/vp/gmap
+    # vectors.  Batch layout matches pretrain/data.TrajBatchBuilder.
+    def extract_cfp(self, batch, deterministic=True):
+        from .traj import aggregate_gmap_features
+
+        c = self.config
+        txt_embeds = self.forward_text(batch["txt_ids"], batch["txt_masks"],
+                                       deterministic=deterministic)
+        v = batch["traj_view_img_fts"]
+        B, T, Lp = v.shape[:3]
+
+        def flat(x):
+            return x.reshape((B * T,) + x.shape[2:])
+
+        embeds, masks, fused = self.img_embeddings(
+            flat(v), flat(batch["traj_loc_fts"]),
+            flat(batch["traj_nav_types"]), flat(batch["traj_view_masks"]),
+            per_step=False, deterministic=deterministic)
+        D = embeds.shape[-1]
+        embeds = embeds.reshape(B, T, Lp, D)
+        masks = masks.reshape(B, T, Lp)
+        if fused is None:
+            m = masks[..., None].astype(embeds.dtype)
+            fused = jnp.sum(embeds * m, 2) / jnp.maximum(jnp.sum(m, 2), 1.0)
+        else:
+            fused = fused.reshape(B, T, D)
+        stepm = batch["step_masks"]
+        embeds = embeds * stepm[..., None, None]
+        fused = fused * stepm[..., None]
+
+        gmap_img = aggregate_gmap_features(
+            embeds, fused, batch["gmap_visited_step"], batch["cand_to_gmap"],
+            batch["gmap_step_ids"].shape[1])
+        gmap_embeds = self.global_encoder.input_embed(
+            gmap_img, batch["gmap_step_ids"], batch["gmap_pos_fts"])
+        bias = extend_neg_masks(batch["gmap_masks"])
+        gmap_embeds = self.global_encoder.tim_self_encoder(
+            gmap_embeds, None, bias, deterministic)
+
+        bidx = jnp.arange(B)
+        last = batch["traj_len"] - 1
+        vp_img = jnp.concatenate(
+            [jnp.zeros((B, 1, D)), embeds[bidx, last]], axis=1)
+        vp_masks = jnp.concatenate(
+            [jnp.ones((B, 1), bool), masks[bidx, last]], axis=1)
+        vp_embeds = vp_img + self.local_encoder.pos_embed(batch["vp_pos_fts"])
+        vbias = extend_neg_masks(vp_masks)
+        vp_embeds = self.local_encoder.tim_self_encoder(
+            vp_embeds, None, vbias, deterministic)
+
+        return self.cfp_pool(gmap_embeds, vp_embeds, txt_embeds)
+
     def cfp_pool(self, gmap_embeds, vp_embeds, txt_embeds):
         def pool(x, head, attn):
             h = head(x)

@@ -124,8 +124,11 @@ class CausalImageEmbeddings(nn.Module):
                 _dense(D, "loc_linear", self.dtype)(loc_fts))
             nav_emb = nn.Embed(3, D, name="nav_type_embedding", dtype=self.dtype)(nav_types)
             embeds = embeds + loc_all + nav_emb
-            embeds = nn.LayerNorm(epsilon=1e-12, name="layer_norm",
-                                  dtype=self.dtype)(embeds)
+            if per_step:
+                # final LN only on the per-step path (vilmodel_GOAT.py:720;
+                # the trajectory path :292-294 has none)
+                embeds = nn.LayerNorm(epsilon=1e-12, name="layer_norm",
+                                      dtype=self.dtype)(embeds)
             embeds = nn.Dropout(c.hidden_dropout_prob)(embeds,
                                                        deterministic=deterministic)
             embeds = PanoEncoder(c, c.num_pano_layers, self.dtype,

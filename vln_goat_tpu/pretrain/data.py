@@ -1,0 +1,381 @@
+"""Host-side pre-training data: trajectory sampling + static-shape batch
+building.
+
+Reference: pretrain_src/data/dataset.py (R2RTextPathData :582,
+ReverieTextPathData :133) and the task collates in data/tasks.py.  One
+`TrajBatchBuilder.build` call replaces get_input + the per-task collate:
+it emits every tensor the GoatPretrainModel tasks need, in fixed shapes,
+including the aggregation index maps (gmap_visited_step / cand_to_gmap)
+that replace the reference's dict-keyed gmap feature aggregation.
+
+Sampling semantics preserved:
+- end viewpoint: 'pos' (trajectory endpoint) / 'neg_in_gt_path' (random mid
+  node) / 'neg_others' (random non-path node); ratios per task
+  (tasks.py:206-211, 344-350);
+- trajectory truncation at TRAIN_MAX_STEP (dataset.py:371-373);
+- pano token order [cand views | noncand views] with angles relative to
+  view 12 (+ optional cur-heading correction) (dataset.py:439-505);
+- act labels: stop=0 at goal else the slot of the gt next node
+  (dataset.py:616-632);
+- MLM 80/10/10 masking (tasks.py:11-52); MRC view masking with soft
+  CLIP-prob targets (tasks.py:189-324).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..core import geometry as G
+from ..sim.graph_sim import ScanGraph
+
+TRAIN_MAX_STEP = 20
+
+
+@dataclass
+class PretrainShapes:
+    max_txt_len: int = 80
+    max_steps: int = 10          # T (reference truncates at 20)
+    max_cands: int = 16          # K
+    max_gmap: int = 64           # G tokens incl [stop]
+    max_mlm: int = 16            # M masked positions
+    mrc_prob_dim: int = 64       # P soft-label classes (1000 for real CLIP)
+    max_objs: int = 0            # Lo (REVERIE)
+
+    @property
+    def pano_len(self):
+        return self.max_cands + 36
+
+
+class TrajBatchBuilder:
+    def __init__(self, scan_graphs: Dict[str, ScanGraph],
+                 scan_order: Sequence[str], features: np.ndarray,
+                 shapes: PretrainShapes, angle_feat_size: int = 4,
+                 correct_heading: bool = True,
+                 view_probs: Optional[np.ndarray] = None,
+                 mask_token_id: int = 50264, vocab_size: int = 50265,
+                 mlm_prob: float = 0.15, mrc_prob: float = 0.15, seed: int = 0):
+        self.graphs = scan_graphs
+        self.scan_order = list(scan_order)
+        self.scan_index = {s: i for i, s in enumerate(scan_order)}
+        offs, total = {}, 0
+        for s in scan_order:
+            offs[s] = total
+            total += scan_graphs[s].num_vps
+        self.offsets = offs
+        self.features = features          # [Vtot, 36, Df]
+        self.view_probs = view_probs      # [Vtot, 36, P] or None
+        self.sh = shapes
+        self.afs = angle_feat_size
+        self.correct_heading = correct_heading
+        self.mask_token_id = mask_token_id
+        self.vocab_size = vocab_size
+        self.mlm_prob = mlm_prob
+        self.mrc_prob = mrc_prob
+        self.rng = np.random.default_rng(seed)
+
+    # ------------------------------------------------------------------
+    def _feat(self, scan: str, vp: int) -> np.ndarray:
+        return self.features[self.offsets[scan] + vp]
+
+    def _probs(self, scan: str, vp: int) -> np.ndarray:
+        if self.view_probs is not None:
+            return self.view_probs[self.offsets[scan] + vp]
+        # synthetic: deterministic pseudo-probs from features
+        f = self._feat(scan, vp)[:, :self.sh.mrc_prob_dim]
+        e = np.exp(f - f.max(-1, keepdims=True))
+        return (e / e.sum(-1, keepdims=True)).astype(np.float32)
+
+    def _cur_angle(self, g: ScanGraph, path: List[int], start_heading: float):
+        """get_cur_angle (dataset.py:429-436)."""
+        if len(path) < 2:
+            return start_heading, 0.0
+        prev, cur = path[-2], path[-1]
+        k = int(np.argmax((g.cand_local[prev] == cur) & g.cand_mask[prev]))
+        viewidx = int(g.cand_ptid[prev, k])
+        return (viewidx % 12) * math.radians(30), \
+            (viewidx // 12 - 1) * math.radians(30)
+
+    def _pos7(self, g: ScanGraph, cur: int, tgts: List[Optional[int]],
+              heading: float, elevation: float) -> np.ndarray:
+        out = np.zeros((len(tgts), self.afs + 3), np.float32)
+        for i, t in enumerate(tgts):
+            if t is None:
+                out[i, :self.afs] = G.angle_feature_np(0.0, 0.0, self.afs)
+                continue
+            h, e, d = G.rel_heading_elevation_np(g.pos[cur], g.pos[t],
+                                                 heading, elevation)
+            out[i, :self.afs] = G.angle_feature_np(h, e, self.afs)
+            out[i, self.afs:] = [d / G.MAX_DIST, g.dist[cur, t] / G.MAX_DIST,
+                                 g.hops[cur, t] / G.MAX_STEP]
+        return out
+
+    # ------------------------------------------------------------------
+    def sample_end(self, item: dict, end_vp_type: str) -> int:
+        g = self.graphs[item["scan"]]
+        path = item["path_local"]
+        if end_vp_type == "pos":
+            return path[-1]
+        if end_vp_type == "neg_in_gt_path" or len(path) <= 1:
+            cands = path[:-1] if len(path) > 1 else path
+            return cands[self.rng.integers(len(cands))]
+        # neg_others
+        others = [v for v in range(g.num_vps) if v not in set(path)
+                  and np.isfinite(g.dist[path[0], v])
+                  and g.dist[path[0], v] < G.MAX_DIST * 30]
+        if not others:
+            return path[-1]
+        return others[self.rng.integers(len(others))]
+
+    # ------------------------------------------------------------------
+    def build_one(self, item: dict, end_vp_type: str = "pos") -> dict:
+        sh = self.sh
+        scan = item["scan"]
+        g = self.graphs[scan]
+        gt_path = item["path_local"]
+        start = gt_path[0]
+        end_vp = self.sample_end(item, end_vp_type)
+        end_idx = gt_path.index(end_vp) if end_vp in gt_path else None
+
+        traj = [start] + g.shortest_path(start, end_vp)
+        if len(traj) > min(TRAIN_MAX_STEP, sh.max_steps - 1):
+            traj = traj[:min(TRAIN_MAX_STEP, sh.max_steps - 1)] + [end_vp]
+        T = len(traj)
+        heading, elevation = self._cur_angle(g, traj, item.get("heading", 0.0))
+
+        K, Lp = sh.max_cands, sh.pano_len
+        Df = self.features.shape[-1]
+        view_img = np.zeros((sh.max_steps, Lp, Df), np.float32)
+        loc_fts = np.zeros((sh.max_steps, Lp, self.afs + 3), np.float32)
+        nav_types = np.zeros((sh.max_steps, Lp), np.int32)
+        view_masks = np.zeros((sh.max_steps, Lp), bool)
+        step_masks = np.zeros((sh.max_steps,), bool)
+
+        rel12_h = G.VIEW_HEADINGS - G.VIEW_HEADINGS[12]
+        rel12_e = G.VIEW_ELEVATIONS - G.VIEW_ELEVATIONS[12]
+
+        cand_lists = []
+        for t, vp in enumerate(traj):
+            feats = self._feat(scan, vp)
+            cm = g.cand_mask[vp]
+            n_cand = int(cm.sum())
+            used = set()
+            step_masks[t] = True
+            for k in range(n_cand):
+                pt = int(g.cand_ptid[vp, k])
+                used.add(pt)
+                view_img[t, k] = feats[pt]
+                ch = g.cand_heading[vp, k]
+                ce = g.cand_elev[vp, k]
+                if self.correct_heading:
+                    ch, ce = ch - heading, ce - elevation
+                loc_fts[t, k, :self.afs] = G.angle_feature_np(ch, ce, self.afs)
+                loc_fts[t, k, self.afs:] = 1.0
+                nav_types[t, k] = 1
+                view_masks[t, k] = True
+            for ix in range(36):
+                slot = K + ix
+                if ix in used:
+                    continue
+                view_img[t, slot] = feats[ix]
+                loc_fts[t, slot, :self.afs] = G.angle_feature_np(
+                    rel12_h[ix], rel12_e[ix], self.afs)
+                loc_fts[t, slot, self.afs:] = 1.0
+                view_masks[t, slot] = True
+            cand_lists.append([int(x) for x in g.cand_local[vp][:n_cand]])
+
+        # ---- gmap (get_gmap_inputs, dataset.py:511-537) ----
+        visited_step: Dict[int, int] = {}
+        unvisited: Dict[int, bool] = {}
+        for t, vp in enumerate(traj):
+            visited_step[vp] = t
+            unvisited.pop(vp, None)
+            for w in cand_lists[t]:
+                if w not in visited_step:
+                    unvisited[w] = True
+        gmap_vps = [None] + list(visited_step.keys()) + list(unvisited.keys())
+        Gm = sh.max_gmap
+        if len(gmap_vps) > Gm:
+            gmap_vps = gmap_vps[:Gm]
+        ng = len(gmap_vps)
+        gmap_slot = {vp: i for i, vp in enumerate(gmap_vps) if vp is not None}
+
+        gmap_step_ids = np.zeros((Gm,), np.int32)
+        gmap_visited = np.zeros((Gm,), bool)
+        gmap_visited_step = np.full((Gm,), -1, np.int32)
+        for vp, t in visited_step.items():
+            if vp in gmap_slot:
+                i = gmap_slot[vp]
+                gmap_step_ids[i] = t + 1
+                gmap_visited[i] = True
+                gmap_visited_step[i] = t
+        gmap_masks = np.zeros((Gm,), bool)
+        gmap_masks[:ng] = True
+        gmap_pos = np.zeros((Gm, self.afs + 3), np.float32)
+        gmap_pos[:ng] = self._pos7(g, traj[-1], gmap_vps, heading, elevation)
+        pair = np.zeros((Gm, Gm), np.float32)
+        for i, a in enumerate(gmap_vps):
+            for j, b in enumerate(gmap_vps):
+                if a is not None and b is not None and i != j:
+                    pair[i, j] = g.dist[a, b]
+
+        cand_to_gmap = np.full((sh.max_steps, K), -1, np.int32)
+        for t in range(T):
+            for k, w in enumerate(cand_lists[t]):
+                if w not in visited_step and w in gmap_slot:
+                    cand_to_gmap[t, k] = gmap_slot[w]
+
+        # ---- local branch ----
+        L = 1 + Lp
+        vp_pos = np.zeros((L, 2 * (self.afs + 3)), np.float32)
+        start_ft = self._pos7(g, traj[-1], [start], heading, elevation)[0]
+        vp_pos[:, :self.afs + 3] = start_ft
+        last_cands = cand_lists[-1]
+        cand_ft = self._pos7(g, traj[-1], last_cands, heading, elevation)
+        vp_pos[1:1 + len(last_cands), self.afs + 3:] = cand_ft
+
+        local_to_gmap = np.full((L,), -1, np.int32)
+        for k, w in enumerate(last_cands):
+            if w in gmap_slot:
+                local_to_gmap[1 + k] = gmap_slot[w]
+
+        # ---- act labels (dataset.py:616-632) ----
+        goal = item["path_local"][-1]
+        if traj[-1] == goal:
+            gl = ll = 0
+        else:
+            gl = ll = -100
+            if end_idx is not None and end_idx + 1 < len(item["path_local"]):
+                nxt = item["path_local"][end_idx + 1]
+            else:
+                # off-path end: expert = first hop toward the goal
+                nh = g.nexthop[traj[-1], goal]
+                nxt = int(nh) if nh >= 0 else None
+            if nxt is not None:
+                if nxt in gmap_slot:
+                    gl = gmap_slot[nxt]
+                if nxt in last_cands:
+                    ll = last_cands.index(nxt) + 1
+
+        # ---- text ----
+        enc = list(item["instr_encoding"])[:sh.max_txt_len]
+        txt_ids = np.zeros((sh.max_txt_len,), np.int64)
+        txt_ids[:len(enc)] = enc
+        txt_masks = np.zeros((sh.max_txt_len,), bool)
+        txt_masks[:len(enc)] = True
+
+        return dict(
+            end_vp=np.int32(traj[-1]),
+            scan_idx=np.int32(self.scan_index[scan]),
+            txt_ids=txt_ids.astype(np.int32), txt_masks=txt_masks,
+            traj_view_img_fts=view_img, traj_loc_fts=loc_fts,
+            traj_nav_types=nav_types, traj_view_masks=view_masks,
+            step_masks=step_masks, traj_len=np.int32(T),
+            gmap_step_ids=gmap_step_ids, gmap_pos_fts=gmap_pos,
+            gmap_masks=gmap_masks, gmap_pair_dists=pair,
+            gmap_visited_masks=gmap_visited,
+            gmap_visited_step=gmap_visited_step, cand_to_gmap=cand_to_gmap,
+            vp_pos_fts=vp_pos, local_to_gmap=local_to_gmap,
+            global_act_labels=np.int32(gl), local_act_labels=np.int32(ll),
+        )
+
+    # ------------------------------------------------------------------
+    def add_mlm(self, ex: dict) -> dict:
+        """BERT 80/10/10 masking (tasks.py:11-52) with static positions."""
+        sh = self.sh
+        ids = ex["txt_ids"].copy()
+        n = int(ex["txt_masks"].sum())
+        pos_list, tgt_list = [], []
+        # skip [CLS]=slot0 and final [SEP] like the reference (tokens 1..n-2)
+        for i in range(1, max(n - 1, 1)):
+            if self.rng.random() < self.mlm_prob and len(pos_list) < sh.max_mlm:
+                tgt_list.append(ids[i])
+                r = self.rng.random()
+                if r < 0.8:
+                    ids[i] = self.mask_token_id
+                elif r < 0.9:
+                    ids[i] = int(self.rng.integers(0, self.vocab_size))
+                pos_list.append(i)
+        if not pos_list:                       # force at least one mask
+            i = int(self.rng.integers(1, max(n - 1, 2)))
+            tgt_list.append(ids[i])
+            ids[i] = self.mask_token_id
+            pos_list.append(i)
+        mlm_pos = np.full((sh.max_mlm,), -1, np.int32)
+        mlm_tgt = np.zeros((sh.max_mlm,), np.int32)
+        mlm_pos[:len(pos_list)] = pos_list
+        mlm_tgt[:len(tgt_list)] = tgt_list
+        ex = dict(ex)
+        ex["txt_ids"] = ids
+        ex["mlm_pos"] = mlm_pos
+        ex["mlm_tgt"] = mlm_tgt
+        return ex
+
+    def add_mrc(self, ex: dict, scan: str, end_vp: int) -> dict:
+        """Mask views of the end viewpoint, zero their inputs, attach soft
+        targets (tasks.py:189-324)."""
+        sh = self.sh
+        ex = dict(ex)
+        t = int(ex["traj_len"]) - 1
+        Lp = sh.pano_len
+        vm = ex["traj_view_masks"][t]
+        mask = (self.rng.random(Lp) < self.mrc_prob) & vm
+        if not mask.any():
+            first = int(np.argmax(vm))
+            mask[first] = True
+        view_img = ex["traj_view_img_fts"].copy()
+        view_img[t][mask] = 0.0
+        ex["traj_view_img_fts"] = view_img
+
+        probs = self._probs(scan, end_vp)       # [36, P]
+        g = self.graphs[scan]
+        tgt = np.zeros((Lp, sh.mrc_prob_dim), np.float32)
+        n_cand = int(g.cand_mask[end_vp].sum())
+        for k in range(n_cand):
+            tgt[k] = probs[int(g.cand_ptid[end_vp, k])]
+        for ix in range(36):
+            tgt[sh.max_cands + ix] = probs[ix]
+        ex["mrc_masks"] = np.concatenate([mask])  # view-token slots of end vp
+        ex["mrc_targets"] = tgt
+        return ex
+
+    # ------------------------------------------------------------------
+    def build_batch(self, items: List[dict], task: str,
+                    end_vp_pos_ratio: float = 0.2) -> Dict[str, np.ndarray]:
+        exs = []
+        for it in items:
+            r = self.rng.random()
+            if task in ("mlm", "mrc"):
+                evt = "pos" if r < end_vp_pos_ratio else "neg_in_gt_path"
+            elif task in ("sap", "og", "cfp"):
+                if r < end_vp_pos_ratio:
+                    evt = "pos"
+                elif r < 0.6:
+                    evt = "neg_in_gt_path"
+                else:
+                    evt = "neg_others"
+            else:
+                evt = "pos"
+            if task == "cfp":
+                evt = "pos"     # CFP pairs instruction with the full gt path
+            ex = self.build_one(it, evt)
+            if task == "mlm":
+                ex = self.add_mlm(ex)
+            elif task == "mrc":
+                ex = self.add_mrc(ex, it["scan"], int(ex["end_vp"]))
+            exs.append(ex)
+        keys = exs[0].keys()
+        return {k: np.stack([e[k] for e in exs], 0) for k in keys}
+
+
+def items_from_dataset(data: List[dict], scan_graphs: Dict[str, ScanGraph]
+                       ) -> List[dict]:
+    """Attach local-index paths to dataset items."""
+    out = []
+    for it in data:
+        g = scan_graphs[it["scan"]]
+        idx = g.index
+        out.append({**it, "path_local": [idx[v] for v in it["path"]]})
+    return out

@@ -104,11 +104,18 @@ class NavRollout:
             ended=jnp.zeros((B,), bool),
             last_embeds=jnp.zeros((B, D), jnp.float32),
         )
+        if self.world.num_objs > 0 and self.mcfg.is_objnav:
+            st["og_oid"] = jnp.full((B, N1), -1, jnp.int32)
         st["node_vp"] = st["node_vp"].at[:, 0].set(batch["start_vp"].astype(jnp.int32))
         # arrival bookkeeping for the start node (EnvBatch.reset + update_graph)
         st = self._arrive(st, batch, jnp.zeros((B,), jnp.int32),
                           jnp.zeros((B,), bool))
         return st
+
+    def rcfg_obj_offset(self) -> int:
+        """Local-token slot where object tokens start (after stop+MEM is
+        added separately): K candidate slots + 36 views."""
+        return self.world.max_cands + 36
 
     # ------------------------------------------------------------------
     # graph update on arrival at node `arr` (GraphMap.update_graph,
@@ -214,8 +221,18 @@ class NavRollout:
         nav_types = jnp.concatenate(
             [cands["mask"].astype(jnp.int32),
              jnp.zeros((B, 36), jnp.int32)], axis=1)
+
+        objs = None
+        if w.num_objs > 0 and self.mcfg.is_objnav:
+            # REVERIE object tokens (reverie/env.py:452-457 obs assembly)
+            objs = w.get_objs(scan, cur_vp)
+            Lo = objs["feat"].shape[1]
+            loc = jnp.concatenate([loc, objs["loc"]], axis=1)
+            nav_types = jnp.concatenate(
+                [nav_types, jnp.full((B, Lo), 2, jnp.int32)], axis=1)
         return dict(img=img, loc=loc, nav_types=nav_types, mask=view_mask,
-                    cands=cands, cam_h=cam_h, cam_e=cam_e, cur_vp=cur_vp)
+                    objs=objs, cands=cands, cam_h=cam_h, cam_e=cam_e,
+                    cur_vp=cur_vp)
 
     # ------------------------------------------------------------------
     def _nav_inputs(self, st, batch, pano, pano_embeds):
@@ -306,22 +323,37 @@ class NavRollout:
         vp_pos_fts = vp_pos_fts.at[:, :, :A7].set(start_ft[:, None, :])
         vp_pos_fts = vp_pos_fts.at[:, 2:2 + K, A7:].set(cand_ft)
 
-        vp_masks = jnp.concatenate([jnp.ones((B, 2), bool), pano["mask"]], axis=1)
+        pano_mask_full = pano["mask"]
+        Lo = 0
+        if pano.get("objs") is not None:
+            Lo = pano["objs"]["feat"].shape[1]
+            pano_mask_full = jnp.concatenate(
+                [pano_mask_full, pano["objs"]["mask"]], axis=1)
+        vp_masks = jnp.concatenate([jnp.ones((B, 2), bool), pano_mask_full],
+                                   axis=1)
         vp_nav_masks = jnp.concatenate(
             [jnp.ones((B, 1), bool), jnp.zeros((B, 1), bool), cands["mask"],
-             jnp.zeros((B, 36), bool)], axis=1)
+             jnp.zeros((B, 36 + Lo), bool)], axis=1)
+        vp_obj_masks = None
+        if Lo > 0:
+            vp_obj_masks = jnp.concatenate(
+                [jnp.zeros((B, 2 + K + 36), bool), pano["objs"]["mask"]],
+                axis=1)
 
         no_vp_left = ~jnp.any(real & ~visited, axis=1)
 
-        return dict(
+        nav_in = dict(
             gmap_img_embeds=gmap_img_embeds, gmap_step_ids=gmap_step_ids,
             gmap_pos_fts=gmap_pos_fts, gmap_masks=gmap_masks,
             gmap_pair_dists=gmap_pair_dists, gmap_visited_masks=gmap_visited,
             vp_img_embeds=vp_img_embeds, vp_pos_fts=vp_pos_fts,
             vp_masks=vp_masks, vp_nav_masks=vp_nav_masks,
             local_to_gmap=local_to_gmap,
-        ), dict(real=real, visited=visited, node_vp=node_vp,
-                no_vp_left=no_vp_left, cnode=cnode, has=has)
+        )
+        if vp_obj_masks is not None:
+            nav_in["vp_obj_masks"] = vp_obj_masks
+        return nav_in, dict(real=real, visited=visited, node_vp=node_vp,
+                            no_vp_left=no_vp_left, cnode=cnode, has=has)
 
     # ------------------------------------------------------------------
     def _teacher(self, st, batch, aux, t, imitation):
@@ -411,9 +443,15 @@ class NavRollout:
                     jnp.where(act, t + 1, st["step_id"][bidx, st["cur"]]))}
 
                 pano = self._pano_inputs(st, batch)
+                obj_kw = {}
+                if pano.get("objs") is not None:
+                    obj_kw = dict(obj_fts=pano["objs"]["feat"],
+                                  obj_masks=pano["objs"]["mask"],
+                                  obj_names=pano["objs"]["name"])
                 pano_embeds, pano_masks, pano_fused = apply(
                     params, rp, GoatModel.forward_panorama,
-                    pano["img"], pano["loc"], pano["nav_types"], pano["mask"])
+                    pano["img"], pano["loc"], pano["nav_types"], pano["mask"],
+                    **obj_kw)
                 if pano_fused is None:  # avg fallback (agent.py:550-552)
                     m = pano_masks[..., None].astype(pano_embeds.dtype)
                     pano_fused = (jnp.sum(pano_embeds * m, 1)
@@ -456,6 +494,27 @@ class NavRollout:
                 st = {**st, "stop_prob": st["stop_prob"].at[bidx, st["cur"]].set(
                     jnp.where(act, probs[:, 0], st["stop_prob"][bidx, st["cur"]]))}
 
+                # object grounding bookkeeping (reverie agent: og pred of the
+                # eventual stop node, agent_obj_goat.py:676-690)
+                og_loss = jnp.zeros(())
+                if outs.get("obj_logits") is not None:
+                    obj_off = 2 + self.rcfg_obj_offset()
+                    oslot = jnp.argmax(outs["obj_logits"], axis=1)
+                    k_obj = jnp.clip(oslot - obj_off, 0,
+                                     pano["objs"]["oid"].shape[1] - 1)
+                    oid = pano["objs"]["oid"][bidx, k_obj]
+                    st = {**st, "og_oid": st["og_oid"].at[bidx, st["cur"]].set(
+                        jnp.where(act, oid, st["og_oid"][bidx, st["cur"]]))}
+                    if train_ml and "gt_obj_slot" in batch:
+                        gt_slot = batch["gt_obj_slot"]
+                        at_goal = pano["cur_vp"] == batch["gt_path"][
+                            bidx, batch["gt_len"] - 1]
+                        ok = act & at_goal & (gt_slot >= 0)
+                        ologp = jax.nn.log_softmax(outs["obj_logits"], axis=1)
+                        oli = jnp.take_along_axis(
+                            ologp, jnp.maximum(gt_slot, 0)[:, None], 1)[:, 0]
+                        og_loss = -jnp.sum(jnp.where(ok, oli, 0.0))
+
                 # supervision
                 target = self._teacher(st, batch, aux, t,
                                        imitation=(feedback == "teacher"))
@@ -464,7 +523,7 @@ class NavRollout:
                     tgt_ok = target >= 0
                     li = jnp.take_along_axis(
                         logp, jnp.maximum(target, 0)[:, None], axis=1)[:, 0]
-                    step_loss = -jnp.sum(jnp.where(tgt_ok, li, 0.0))
+                    step_loss = -jnp.sum(jnp.where(tgt_ok, li, 0.0)) + og_loss
                 else:
                     step_loss = jnp.zeros(())
 
@@ -543,6 +602,9 @@ class NavRollout:
                 back_seg=back, back_hops=st["ehops"][bidx, st["cur"], best_stop],
                 final_cur=st["cur"], n_nodes=st["n_nodes"],
             )
+            if "og_oid" in st:
+                # predicted object id at the chosen stop node
+                out["pred_obj_id"] = st["og_oid"][bidx, best_stop]
             return out
 
         return rollout

@@ -42,11 +42,19 @@ class NavWorld:
     vp_offset: jnp.ndarray    # [S] i32 into feat
     # features
     feat: jnp.ndarray         # [Vtot, 36, Df]
+    # objects (REVERIE/SOON; zero-width when absent)
+    obj_feat: jnp.ndarray = None     # [Vtot, Lo, Dobj]
+    obj_loc: jnp.ndarray = None      # [Vtot, Lo, A+3] (angle + box fts)
+    obj_mask: jnp.ndarray = None     # [Vtot, Lo]
+    obj_name: jnp.ndarray = None     # [Vtot, Lo] i32 category id
+    obj_id: jnp.ndarray = None       # [Vtot, Lo] i32 dataset object id
 
     def tree_flatten(self):
         leaves = (self.pos, self.cand_local, self.cand_ptid, self.cand_heading,
                   self.cand_elev, self.cand_dist, self.cand_mask, self.dist,
-                  self.hops, self.n_vps, self.vp_offset, self.feat)
+                  self.hops, self.n_vps, self.vp_offset, self.feat,
+                  self.obj_feat, self.obj_loc, self.obj_mask, self.obj_name,
+                  self.obj_id)
         return leaves, None
 
     @classmethod
@@ -62,15 +70,30 @@ class NavWorld:
         return self.feat.shape[-1]
 
     # ------------------------------------------------------------------
+    @property
+    def num_objs(self) -> int:
+        return 0 if self.obj_feat is None else self.obj_feat.shape[1]
+
+    def get_objs(self, scan, vp):
+        """Object tables for (scan, vp): each [B, Lo, ...]."""
+        g = self.vp_offset[scan] + vp
+        return dict(feat=self.obj_feat[g], loc=self.obj_loc[g],
+                    mask=self.obj_mask[g], name=self.obj_name[g],
+                    oid=self.obj_id[g])
+
     @classmethod
     def build(cls, scans: Sequence[ScanGraph],
               features: Optional[np.ndarray] = None,
               feat_dim: int = 768, feat_dtype=jnp.float32,
-              seed: int = 0) -> "NavWorld":
+              objects: Optional[dict] = None, seed: int = 0) -> "NavWorld":
         """Pack ScanGraphs (+ per-viewpoint 36-view features) onto device.
 
         features: [sum(V_s), 36, Df] in scan order, or None for random
         synthetic features (test fixtures).
+        objects: optional dict of arrays {feat [Vtot, Lo, Dobj],
+        loc [Vtot, Lo, A+3], mask [Vtot, Lo], name [Vtot, Lo],
+        oid [Vtot, Lo]} (REVERIE object store,
+        reverie/env.py:452-457 ObjectFeatureDB equivalent).
         """
         S = len(scans)
         Vmax = max(g.num_vps for g in scans)
@@ -106,6 +129,15 @@ class NavWorld:
             features = rng.standard_normal((vtot, 36, feat_dim)).astype(np.float32)
         assert features.shape[0] == vtot, (features.shape, vtot)
 
+        obj_kw = {}
+        if objects is not None:
+            obj_kw = dict(
+                obj_feat=jnp.asarray(objects["feat"], feat_dtype),
+                obj_loc=jnp.asarray(objects["loc"]),
+                obj_mask=jnp.asarray(objects["mask"]),
+                obj_name=jnp.asarray(objects["name"], jnp.int32),
+                obj_id=jnp.asarray(objects["oid"], jnp.int32),
+            )
         return cls(
             pos=jnp.asarray(pos), cand_local=jnp.asarray(cand_local),
             cand_ptid=jnp.asarray(cand_ptid),
@@ -114,7 +146,7 @@ class NavWorld:
             cand_mask=jnp.asarray(cand_mask), dist=jnp.asarray(dist),
             hops=jnp.asarray(hops), n_vps=jnp.asarray(n_vps),
             vp_offset=jnp.asarray(vp_offset),
-            feat=jnp.asarray(features, feat_dtype),
+            feat=jnp.asarray(features, feat_dtype), **obj_kw,
         )
 
     # ------------------------------------------------------------------
