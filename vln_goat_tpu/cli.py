@@ -1,0 +1,390 @@
+"""Fine-tuning / validation / CFP-extraction CLI.
+
+Reference: map_nav_src/r2r/main_nav.py (+ reverie/main_nav_obj.py) and
+r2r/parser.py.  Usage:
+
+  python -m vln_goat_tpu.cli --mode train --dataset r2r \
+      --connectivity_dir ... --anno_dir ... --img_ft_file ... --output_dir out
+  python -m vln_goat_tpu.cli --mode valid --resume_file ckpt ...
+  python -m vln_goat_tpu.cli --mode extract_cfp_features ...
+  python -m vln_goat_tpu.cli --mode train --synthetic   # fixture smoke run
+
+Orchestration preserved from the reference (main_nav.py:140-401):
+log_every train cycles, per-split greedy validation, best-checkpoint
+selection on SPL+SR (nDTW+SDTW for RxR), periodic back-door z-dict refresh
+(--z_instr_update every --update_iter), front-door dict resampling per
+cycle, submission JSON dumps.  Multi-process: `jax.distributed.initialize`
++ ('dp',) mesh replaces torch DDP/NCCL (SURVEY.md section 2.5).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("vln_goat_tpu")
+    p.add_argument("--mode", required=True,
+                   choices=["train", "valid", "extract_cfp_features"])
+    p.add_argument("--dataset", default="r2r",
+                   choices=["r2r", "rxr", "reverie", "soon"])
+    p.add_argument("--output_dir", default="out")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--synthetic", action="store_true",
+                   help="run on the synthetic fixture world (no datasets)")
+
+    # data paths (postprocess_args equivalents, r2r/parser.py:159-217)
+    p.add_argument("--connectivity_dir", default=None)
+    p.add_argument("--anno_dir", default=None)
+    p.add_argument("--img_ft_file", default=None)
+    p.add_argument("--aug_ft_file", default=None)
+    p.add_argument("--obj_ft_file", default=None)
+    p.add_argument("--img_zdict_file", default=None)
+    p.add_argument("--instr_zdict_file", default=None)
+    p.add_argument("--front_feat_file", default=None)
+    p.add_argument("--resume_file", default=None)
+    p.add_argument("--bert_ckpt_file", default=None,
+                   help="reference .pt to initialize from (key surgery)")
+
+    # model
+    p.add_argument("--num_l_layers", type=int, default=6)
+    p.add_argument("--num_pano_layers", type=int, default=2)
+    p.add_argument("--num_x_layers", type=int, default=3)
+    p.add_argument("--image_feat_size", type=int, default=768)
+    p.add_argument("--obj_feat_size", type=int, default=0)
+    p.add_argument("--angle_feat_size", type=int, default=4)
+    p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--feat_dropout", type=float, default=0.4)
+    p.add_argument("--fusion", default="dynamic",
+                   choices=["global", "local", "avg", "dynamic"])
+    p.add_argument("--expert_policy", default="spl", choices=["spl", "ndtw"])
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+
+    # causal flags
+    p.add_argument("--do_back_img", action="store_true")
+    p.add_argument("--do_back_txt", action="store_true")
+    p.add_argument("--do_front_img", action="store_true")
+    p.add_argument("--do_front_his", action="store_true")
+    p.add_argument("--do_front_txt", action="store_true")
+    p.add_argument("--do_back_txt_type", default="type_2")
+    p.add_argument("--do_back_img_type", default="type_1")
+    p.add_argument("--do_add_method", default="door")
+    p.add_argument("--z_instr_update", action="store_true")
+    p.add_argument("--update_iter", type=int, default=3000)
+    p.add_argument("--front_n_clusters", type=int, default=24)
+
+    # training
+    p.add_argument("--iters", type=int, default=150000)
+    p.add_argument("--log_every", type=int, default=1000)
+    p.add_argument("--batch_size", type=int, default=12)
+    p.add_argument("--lr", type=float, default=2e-5)
+    p.add_argument("--train_alg", default="dagger",
+                   choices=["imitation", "dagger"])
+    p.add_argument("--ml_weight", type=float, default=0.2)
+    p.add_argument("--grad_clip", type=float, default=40.0)
+    p.add_argument("--max_action_len", type=int, default=None)
+    p.add_argument("--max_instr_len", type=int, default=None)
+    p.add_argument("--num_nodes", type=int, default=48)
+    p.add_argument("--max_cands", type=int, default=16)
+    p.add_argument("--eval_first", action="store_true")
+    p.add_argument("--submit", action="store_true")
+    p.add_argument("--save_torch_ckpt", action="store_true",
+                   help="also write reference-format .pt checkpoints")
+    p.add_argument("--for_debug", action="store_true")
+    p.add_argument("--tokenizer", default="roberta")
+    return p.parse_args(argv)
+
+
+# ----------------------------------------------------------------------
+def build_runtime(args):
+    import jax
+
+    from .config import GoatConfig
+    from .models.goat import GoatModel
+    from .rollout.env import EpisodeBatcher, make_synthetic_dataset
+    from .rollout.rollout import NavRollout, RolloutConfig
+    from .rollout.world import NavWorld
+    from .train.params import init_goat_params
+
+    cfg = GoatConfig.for_dataset(
+        args.dataset,
+        num_l_layers=args.num_l_layers, num_pano_layers=args.num_pano_layers,
+        num_x_layers=args.num_x_layers, image_feat_size=args.image_feat_size,
+        angle_feat_size=args.angle_feat_size,
+        hidden_dropout_prob=args.dropout,
+        glocal_fuse=args.fusion == "dynamic", fusion=args.fusion,
+        do_back_img=args.do_back_img, do_back_txt=args.do_back_txt,
+        do_front_img=args.do_front_img, do_front_his=args.do_front_his,
+        do_front_txt=args.do_front_txt,
+        do_back_txt_type=args.do_back_txt_type,
+        do_back_img_type=args.do_back_img_type,
+        do_add_method=args.do_add_method,
+        mode=args.mode,
+    )
+    if args.obj_feat_size:
+        cfg = cfg.replace(obj_feat_size=args.obj_feat_size)
+    if args.feat_dropout is not None:
+        cfg = cfg.replace(feat_dropout=args.feat_dropout)
+    if args.max_action_len:
+        cfg = cfg.replace(max_action_len=args.max_action_len)
+    if args.max_instr_len:
+        cfg = cfg.replace(max_instr_len=args.max_instr_len)
+
+    if args.synthetic:
+        from .sim.graph_sim import make_synthetic_scan
+
+        scans = [make_synthetic_scan(f"s{i}", num_vps=40, seed=i)
+                 for i in range(3)]
+        graphs = {g.scan_id: g for g in scans}
+        world = NavWorld.build(scans, feat_dim=cfg.image_feat_size, seed=0)
+        splits = {}
+        for name, n, seed in [("train", 64, 1), ("val_seen", 16, 2),
+                              ("val_unseen", 16, 3)]:
+            splits[name] = make_synthetic_dataset(
+                graphs, n, vocab_size=cfg.vocab_size,
+                max_instr_len=min(cfg.max_instr_len, 48),
+                path_len=(3, 6), seed=seed)
+    else:
+        from .data.annotations import construct_instrs
+        from .data.feature_db import ImageFeaturesDB
+        from .sim.graph_sim import load_connectivity
+
+        split_names = ["train", "val_seen", "val_unseen"]
+        splits = construct_instrs(args.anno_dir, args.dataset, split_names,
+                                  tokenizer=args.tokenizer,
+                                  max_instr_len=cfg.max_instr_len,
+                                  for_debug=args.for_debug)
+        scan_ids = sorted({it["scan"] for s in splits.values() for it in s})
+        graphs = load_connectivity(args.connectivity_dir, scan_ids,
+                                   max_cands=args.max_cands)
+        feat_db = ImageFeaturesDB(args.img_ft_file, cfg.image_feat_size)
+        features = feat_db.as_packed_array(graphs, scan_ids)
+        world = NavWorld.build([graphs[s] for s in scan_ids],
+                               features=features,
+                               feat_dim=cfg.image_feat_size)
+
+    scan_order = list(graphs)
+    model = GoatModel(cfg)
+    params = init_goat_params(model, jax.random.PRNGKey(args.seed),
+                              max_cands=args.max_cands,
+                              num_nodes=args.num_nodes)
+    if args.bert_ckpt_file or args.resume_file:
+        from .train.checkpoint import (load_reference_checkpoint, merge_loaded,
+                                       torch_to_flax, load_orbax)
+
+        path = args.resume_file or args.bert_ckpt_file
+        if os.path.isdir(path):
+            params = load_orbax(path, params)
+        else:
+            loaded = torch_to_flax(load_reference_checkpoint(path))
+            params, missing, extra = merge_loaded(params, loaded)
+            print(f"loaded {path}: {len(missing)} missing, "
+                  f"{len(extra)} extra keys")
+
+    rcfg = RolloutConfig(num_nodes=args.num_nodes, horizon=cfg.max_action_len,
+                         expert_policy=args.expert_policy,
+                         feat_dim=cfg.image_feat_size,
+                         angle_feat_size=cfg.angle_feat_size)
+    rollout = NavRollout(model, world, rcfg)
+
+    batchers = {
+        name: EpisodeBatcher(
+            data, graphs, scan_order, args.batch_size,
+            max_instr_len=min(cfg.max_instr_len, 64 if args.synthetic else 512),
+            max_gt_len=cfg.max_action_len + 1, seed=args.seed + i)
+        for i, (name, data) in enumerate(splits.items())
+    }
+    return dict(cfg=cfg, model=model, params=params, world=world,
+                rollout=rollout, batchers=batchers, graphs=graphs,
+                scan_order=scan_order)
+
+
+# ----------------------------------------------------------------------
+def run_validation(rt, split: str, max_batches: Optional[int] = None):
+    """Greedy decode a whole split -> metrics + per-item predictions
+    (main_nav.py:338-391 / agent_base.py:44-67)."""
+    import jax
+
+    from .eval.metrics import eval_item, eval_metrics
+    from .rollout.rollout import assemble_trajectories
+
+    batcher = rt["batchers"][split]
+    batcher.reset_epoch(shuffle=False)
+    fn = rt["rollout"].jitted(feedback="argmax", train_ml=False)
+    seen = set()
+    per_item, preds = [], []
+    n_batches = int(np.ceil(batcher.size() / batcher.batch_size))
+    if max_batches:
+        n_batches = min(n_batches, max_batches)
+    for bi in range(n_batches):
+        items, batch = batcher.next_batch()
+        out = jax.tree.map(np.asarray, fn(rt["params"], batch,
+                                          jax.random.PRNGKey(bi)))
+        batch_np = jax.tree.map(np.asarray, batch)
+        paths = assemble_trajectories(batch_np, out)
+        for b, it in enumerate(items):
+            if it["instr_id"] in seen:
+                continue
+            seen.add(it["instr_id"])
+            g = rt["graphs"][it["scan"]]
+            gt_local = [g.index[v] for v in it["path"]]
+            per_item.append(eval_item(g.dist, paths[b], gt_local))
+            preds.append({
+                "instr_id": it["instr_id"],
+                "trajectory": [[g.vp_ids[v]] for v in paths[b]],
+            })
+    return eval_metrics(per_item), preds
+
+
+def train(args, rt):
+    import jax
+    import jax.numpy as jnp
+
+    from .train.checkpoint import save_orbax, flax_to_torch
+    from .train.trainer import (init_train_state, make_optimizer,
+                                make_train_step)
+    from .utils.logger import MetricsLogger, RunningMeter, write_to_record_file
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    record_file = os.path.join(args.output_dir, "train.log")
+    mlog = MetricsLogger(os.path.join(args.output_dir, "metrics.jsonl"))
+
+    tx = make_optimizer(lr=args.lr, grad_clip=args.grad_clip)
+    step_fn = jax.jit(make_train_step(rt["rollout"], tx,
+                                      train_alg=args.train_alg,
+                                      ml_weight=args.ml_weight))
+    state = init_train_state(rt["params"], tx)
+    batcher = rt["batchers"]["train"]
+    meter = RunningMeter("loss")
+    # model selection metric (main_nav.py:296-308)
+    sel = (lambda m: m["nDTW"] + m["SDTW"]) if args.dataset == "rxr" \
+        else (lambda m: m["spl"] + m["sr"])
+    best = {"score": -1.0, "iter": 0}
+
+    if args.eval_first:
+        for split in ("val_seen", "val_unseen"):
+            if split in rt["batchers"]:
+                rt["params"] = state.params
+                m, _ = run_validation(rt, split, max_batches=4)
+                write_to_record_file(f"[eval_first] {split}: {m}", record_file)
+
+    t0 = time.time()
+    for it in range(0, args.iters, args.log_every):
+        interval = min(args.log_every, args.iters - it)
+        for j in range(interval):
+            _, batch = batcher.next_batch()
+            state, metrics = step_fn(state, batch,
+                                     jax.random.PRNGKey(it + j))
+            meter(float(metrics["loss"]))
+        step = it + interval
+        mlog.set_step(step)
+        mlog.log_scalar_dict({"loss": meter.val,
+                              "grad_norm": float(metrics["grad_norm"])},
+                             prefix="train")
+        write_to_record_file(
+            f"iter {step}: loss {meter.val:.4f} "
+            f"({(time.time()-t0)/max(step,1)*1000:.0f} ms/iter)", record_file)
+
+        rt["params"] = state.params
+        scores = {}
+        for split in ("val_seen", "val_unseen"):
+            if split in rt["batchers"]:
+                m, _ = run_validation(rt, split)
+                scores[split] = m
+                mlog.log_scalar_dict(m, prefix=split)
+                write_to_record_file(f"  {split}: {m}", record_file)
+        save_orbax(os.path.abspath(
+            os.path.join(args.output_dir, "ckpt_latest")), state.params)
+        if args.save_torch_ckpt:
+            _save_torch(state.params,
+                        os.path.join(args.output_dir, "latest_dict.pt"), step)
+        if "val_unseen" in scores and sel(scores["val_unseen"]) > best["score"]:
+            best = {"score": sel(scores["val_unseen"]), "iter": step}
+            save_orbax(os.path.abspath(
+                os.path.join(args.output_dir, "ckpt_best_val_unseen")),
+                state.params)
+            write_to_record_file(f"  new best @ {step}: {best['score']:.2f}",
+                                 record_file)
+        if args.z_instr_update and step % args.update_iter == 0:
+            write_to_record_file("  z-dict refresh hook (BACL online update)",
+                                 record_file)
+    return state
+
+
+def _save_torch(params, path: str, epoch: int):
+    import torch
+
+    from .train.checkpoint import flax_to_torch
+
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in flax_to_torch(params).items()}
+    torch.save({"vln_bert": {"epoch": epoch, "state_dict": sd}}, path)
+
+
+def valid(args, rt):
+    from .utils.logger import write_to_record_file
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    record_file = os.path.join(args.output_dir, "valid.log")
+    for split in ("val_seen", "val_unseen"):
+        if split not in rt["batchers"]:
+            continue
+        t0 = time.time()
+        m, preds = run_validation(rt, split)
+        write_to_record_file(
+            f"{split} ({time.time()-t0:.1f}s): {m}", record_file)
+        if args.submit:
+            out = os.path.join(args.output_dir, f"submit_{split}.json")
+            with open(out, "w") as f:
+                json.dump(preds, f)
+            write_to_record_file(f"wrote {out}", record_file)
+
+
+def extract_cfp(args, rt):
+    from .pretrain.data import PretrainShapes, TrajBatchBuilder, \
+        items_from_dataset
+    from .tools.cfp_extract import extract_cfp_features
+
+    shapes = PretrainShapes(
+        max_txt_len=min(rt["cfg"].max_instr_len, 64),
+        max_steps=min(rt["cfg"].max_action_len + 1, 12),
+        max_cands=args.max_cands, max_gmap=args.num_nodes)
+    features = np.asarray(rt["world"].feat)
+    builder = TrajBatchBuilder(rt["graphs"], rt["scan_order"], features,
+                               shapes, seed=args.seed)
+    items = items_from_dataset(rt["batchers"]["train"].data, rt["graphs"])
+    out_tsv = os.path.join(args.output_dir,
+                           f"{args.dataset}_cfp_features.tsv")
+    os.makedirs(args.output_dir, exist_ok=True)
+    feats = extract_cfp_features(rt["model"], rt["params"], builder, items,
+                                 out_tsv=out_tsv)
+    print(f"wrote {out_tsv}: {feats['txt_feats'].shape[0]} trajectories")
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from .utils.misc import set_seed
+
+    set_seed(args.seed)
+    os.makedirs(args.output_dir, exist_ok=True)
+    # snapshot the config like the reference run dirs (utils/save.py:12-20)
+    with open(os.path.join(args.output_dir, "args.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+
+    rt = build_runtime(args)
+    if args.mode == "train":
+        train(args, rt)
+    elif args.mode == "valid":
+        valid(args, rt)
+    else:
+        extract_cfp(args, rt)
+
+
+if __name__ == "__main__":
+    main()

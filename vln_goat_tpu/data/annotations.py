@@ -1,0 +1,76 @@
+"""Annotation loading: R2R/RxR/REVERIE instruction datasets.
+
+Reference: construct_instrs (map_nav_src/r2r/data_utils.py:160-191) —
+expands the ~3 instructions per path into separate items, filters RxR to
+English when requested, builds `val_train_seen` as a 50-item train subset
+(:149-151), and `--for_debug` truncation (:176,188).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+
+def load_instr_datasets(anno_dir: str, dataset: str, splits: Sequence[str],
+                        tokenizer: str = "roberta") -> Dict[str, list]:
+    out = {}
+    for split in splits:
+        if dataset == "rxr":
+            path = os.path.join(anno_dir, f"rxr_{split}_guide_enc_xlmr.jsonl")
+            data = [json.loads(line) for line in open(path)]
+        else:
+            name = {"r2r": "R2R", "reverie": "REVERIE"}[dataset]
+            enc = {"roberta": "roberta_enc", "xlm": "xlm_enc",
+                   "bert": "enc"}[tokenizer]
+            path = os.path.join(anno_dir, f"{name}_{split}_{enc}.json")
+            with open(path) as f:
+                data = json.load(f)
+        out[split] = data
+    return out
+
+
+def construct_instrs(anno_dir: str, dataset: str, splits: Sequence[str],
+                     tokenizer: str = "roberta", max_instr_len: int = 200,
+                     for_debug: bool = False,
+                     english_only: bool = True) -> Dict[str, List[dict]]:
+    """split -> flat items {instr_id, scan, path, heading, instruction,
+    instr_encoding, (objId for REVERIE)}."""
+    raw = load_instr_datasets(anno_dir, dataset, splits, tokenizer)
+    out: Dict[str, List[dict]] = {}
+    for split, data in raw.items():
+        items = []
+        for item in data:
+            if dataset == "rxr":
+                if english_only and "en" not in item.get("language", "en"):
+                    continue
+                items.append(dict(
+                    instr_id=f"{item['path_id']}_{item.get('instruction_id', 0)}",
+                    path_id=item["path_id"], scan=item["scan"],
+                    path=item["path"], heading=item.get("heading", 0.0),
+                    instruction=item.get("instruction", ""),
+                    instr_encoding=item["instr_encoding"][:max_instr_len],
+                ))
+            else:
+                for j, instr in enumerate(item.get("instructions", [""])):
+                    encs = item.get("instr_encodings", [[]] * (j + 1))
+                    new = dict(
+                        instr_id=f"{item['path_id']}_{j}",
+                        path_id=item["path_id"], scan=item["scan"],
+                        path=item["path"], heading=item.get("heading", 0.0),
+                        instruction=instr,
+                        instr_encoding=encs[j][:max_instr_len],
+                    )
+                    if "objId" in item:
+                        new["objId"] = item["objId"]
+                        new["instr_id"] = \
+                            f"{item['path_id']}_{item['objId']}_{j}"
+                    items.append(new)
+        if for_debug:
+            items = items[:50]
+        out[split] = items
+
+    # val_train_seen: 50-sample subset of train (data_utils.py:149-151)
+    if "train" in out and "val_train_seen" in splits:
+        out["val_train_seen"] = out["train"][:50]
+    return out

@@ -92,6 +92,30 @@ def init_goat_params(model: GoatModel, rng: jax.Array,
 
     params = _merge(jax.tree.map(lambda x: x, v_text["params"]),
                     _merge(v_pano["params"], v_nav["params"]))
+
+    if c.mode == "extract_cfp_features":
+        # the CFP-extraction path carries extra tim heads/self-encoders
+        T, K, Gm = 2, max_cands, 8
+        Lp = K + 36
+        cfp_batch = dict(
+            txt_ids=txt_ids, txt_masks=txt_masks,
+            traj_view_img_fts=jnp.zeros((B, T, Lp, c.image_feat_size)),
+            traj_loc_fts=jnp.zeros((B, T, Lp, c.angle_feat_size + 3)),
+            traj_nav_types=jnp.zeros((B, T, Lp), jnp.int32),
+            traj_view_masks=jnp.ones((B, T, Lp), bool),
+            step_masks=jnp.ones((B, T), bool),
+            traj_len=jnp.full((B,), T, jnp.int32),
+            gmap_step_ids=jnp.zeros((B, Gm), jnp.int32),
+            gmap_pos_fts=jnp.zeros((B, Gm, c.angle_feat_size + 3)),
+            gmap_masks=jnp.ones((B, Gm), bool),
+            gmap_pair_dists=jnp.zeros((B, Gm, Gm)),
+            gmap_visited_step=jnp.full((B, Gm), -1, jnp.int32),
+            cand_to_gmap=jnp.full((B, T, K), -1, jnp.int32),
+            vp_pos_fts=jnp.zeros((B, 1 + Lp, 2 * (c.angle_feat_size + 3))),
+        )
+        v_cfp = model.init(jax.random.fold_in(rng, 9), cfp_batch,
+                           method=GoatModel.extract_cfp)
+        params = _merge(params, v_cfp["params"])
     return {"params": params}
 
 
