@@ -1,0 +1,2 @@
+from .lib import (available, apsp, nearest_view, bleu_stats,
+                  edit_distance_batch, bucket_by_size, kmeans_lloyd)

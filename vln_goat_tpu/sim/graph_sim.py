@@ -68,16 +68,29 @@ class ScanGraph:
 
 
 def _all_pairs(pos: np.ndarray, edges: Sequence[tuple]) -> tuple:
-    """Dijkstra all-pairs over euclidean edge weights via scipy (C speed),
-    mirroring nx.all_pairs_dijkstra (r2r/env.py:184-188)."""
-    import scipy.sparse as sp
-    import scipy.sparse.csgraph as csgraph
-
+    """Dijkstra all-pairs over euclidean edge weights, mirroring
+    nx.all_pairs_dijkstra (r2r/env.py:184-188).  Uses the native C++
+    implementation (csrc/goat_native.cpp apsp) when built; scipy fallback."""
     V = len(pos)
     if not edges:
         dist = np.full((V, V), np.inf, np.float32)
         np.fill_diagonal(dist, 0.0)
         return dist, np.zeros((V, V), np.int32), np.full((V, V), -1, np.int32)
+
+    try:
+        from ..native import apsp, available
+        if available():
+            e = np.asarray(edges, np.int32)
+            w = np.linalg.norm(pos[e[:, 0]] - pos[e[:, 1]],
+                               axis=1).astype(np.float32)
+            dist, hops, nexthop = apsp(V, e, w)
+            dist = np.where(dist > 1e29, np.inf, dist).astype(np.float32)
+            return dist, hops, nexthop
+    except Exception:
+        pass
+
+    import scipy.sparse as sp
+    import scipy.sparse.csgraph as csgraph
     rows, cols, w = [], [], []
     for a, b in edges:
         d = float(np.linalg.norm(pos[a] - pos[b]))
