@@ -47,9 +47,40 @@ class RolloutConfig:
     horizon: int = 15          # max_action_len (r2r parser default)
     seg_len: int = 12          # max hops recorded per move
     back_len: int = 16         # max hops of the final stop-backtrack
-    expert_policy: str = "spl"
+    expert_policy: str = "spl"  # spl | ndtw (RxR, agent.py:333-342)
+    ndtw_future_len: int = 10  # DTW lookahead hops per candidate
     feat_dim: int = 768
     angle_feat_size: int = 4
+
+
+BIG = 1e9
+
+
+def dtw_extend_row(row, cost, valid=None):
+    """One DTW row update as two associative scans (no O(Tg) sequential
+    inner loop): dp[j] = cost[j] + min(min(prev[j], prev[j-1]), dp[j-1])
+    rewrites to dp[j] = C[j] + cummin_j(a[j] - C[j-1]) with C = cumsum(cost)
+    — log-depth on the VPU instead of a 21-step scalar chain.
+
+    row: [..., Tg+1] previous DP row; cost: [..., Tg] pairwise distances of
+    the appended path node to each reference node; valid broadcasts over the
+    leading dims (masked rows keep the old DP).
+    """
+    a = jnp.minimum(row[..., 1:], row[..., :-1])
+    C = jnp.cumsum(cost, axis=-1)
+    Cs = jnp.concatenate([jnp.zeros_like(C[..., :1]), C[..., :-1]], axis=-1)
+    x = a - Cs
+    m = jax.lax.cummin(x, axis=x.ndim - 1)  # cummin rejects negative axes
+    dp = C + m
+    new = jnp.concatenate([jnp.full_like(row[..., :1], BIG), dp], axis=-1)
+    if valid is None:
+        return new
+    return jnp.where(valid[..., None], new, row)
+
+
+def dtw_init_row(shape_prefix, Tg1):
+    row = jnp.full(shape_prefix + (Tg1,), BIG)
+    return row.at[..., 0].set(0.0)
 
 
 # 36x36 table: angle features of view v relative to base view b
@@ -107,10 +138,26 @@ class NavRollout:
         if self.world.num_objs > 0 and self.mcfg.is_objnav:
             st["og_oid"] = jnp.full((B, N1), -1, jnp.int32)
         st["node_vp"] = st["node_vp"].at[:, 0].set(batch["start_vp"].astype(jnp.int32))
+        if r.expert_policy == "ndtw":
+            # incremental DTW bottom row for the flattened trajectory
+            # (expert: cal_dtw over traj + candidate lookahead, agent.py:333)
+            Tg1 = batch["gt_path"].shape[1] + 1
+            row = dtw_init_row((B,), Tg1)
+            cost0 = self._gt_cost(batch, batch["start_vp"])
+            st["dtw_row"] = dtw_extend_row(row, cost0)
         # arrival bookkeeping for the start node (EnvBatch.reset + update_graph)
         st = self._arrive(st, batch, jnp.zeros((B,), jnp.int32),
                           jnp.zeros((B,), bool))
         return st
+
+    def _gt_cost(self, batch, vp):
+        """dist(vp, gt_j) rows for DTW: vp [...] local ids -> [..., Tg]."""
+        gt = jnp.maximum(batch["gt_path"], 0)              # [B, Tg]
+        scan = batch["scan_idx"]
+        if vp.ndim == 1:                                   # [B]
+            return self.world.dist[scan[:, None], vp[:, None], gt]
+        return self.world.dist[scan[:, None, None], vp[..., None],
+                               gt[:, None, :]]             # [B, N, Tg]
 
     def rcfg_obj_offset(self) -> int:
         """Local-token slot where object tokens start (after stop+MEM is
@@ -373,6 +420,36 @@ class NavRollout:
             slot = jnp.argmax(match, axis=1).astype(jnp.int32) + 2
             found = match.any(1)
             a = jnp.where(is_last, 0, jnp.where(found, slot, IGNORE_ID))
+        elif r.expert_policy == "ndtw":
+            # nDTW expert (agent.py:333-340): for each unvisited node,
+            # score the flattened trajectory + full-graph shortest path to
+            # it against the gt path; pick the best nDTW.
+            node_vp = aux["node_vp"]                     # [B, N]
+            B, N = node_vp.shape
+            hops = w.hops[scan[:, None], cur_vp[:, None], node_vp]
+            row = jnp.broadcast_to(st["dtw_row"][:, None, :],
+                                   (B, N, st["dtw_row"].shape[-1]))
+
+            def body(k, carry):
+                row, p = carry
+                nxt = w.nexthop[scan[:, None], p, node_vp]
+                nxt = jnp.where(nxt < 0, p, nxt)
+                cost = self._gt_cost(batch, nxt)
+                row = dtw_extend_row(row, cost, valid=(k < hops))
+                return (row, nxt)
+
+            row, _ = jax.lax.fori_loop(
+                0, r.ndtw_future_len, body,
+                (row, jnp.broadcast_to(cur_vp[:, None], (B, N))))
+            gl = batch["gt_len"]
+            dtw = jnp.take_along_axis(row, gl[:, None, None], axis=2)[..., 0]
+            ndtw = jnp.exp(-dtw / (3.0 * gl[:, None].astype(jnp.float32)))
+            cand = aux["real"] & ~aux["visited"]
+            score = jnp.where(cand, ndtw, -jnp.inf)
+            best = jnp.argmax(score, axis=1).astype(jnp.int32) + 2
+            any_cand = jnp.isfinite(score).any(1)
+            arrived = cur_vp == goal
+            a = jnp.where(arrived, 0, jnp.where(any_cand, best, IGNORE_ID))
         else:
             # SPL expert: nearest-to-goal unvisited node by
             # dist(cur->node)+dist(node->goal) over the full scan graph
@@ -556,6 +633,18 @@ class NavRollout:
                 seg = jnp.where(moves[:, None], seg, -1)
                 seg_hops = jnp.where(
                     moves, st["ehops"][bidx, st["cur"], tgt_node], 0.0)
+
+                # extend the incremental DTW row with the traversed segment
+                if r.expert_policy == "ndtw":
+                    def dtw_body(k, row):
+                        node = seg[:, k]
+                        vp_k = st["node_vp"][bidx, jnp.clip(node, 0,
+                                                            r.num_nodes)]
+                        cost = self._gt_cost(batch, vp_k)
+                        return dtw_extend_row(row, cost, valid=node >= 0)
+
+                    st = {**st, "dtw_row": jax.lax.fori_loop(
+                        0, r.seg_len, dtw_body, st["dtw_row"])}
 
                 # camera update: view index of the arrival edge prev->action
                 scan = batch["scan_idx"]

@@ -38,6 +38,7 @@ class NavWorld:
     cand_mask: jnp.ndarray    # [S, Vmax, K] bool
     dist: jnp.ndarray         # [S, Vmax, Vmax] f32 full-graph shortest dist
     hops: jnp.ndarray         # [S, Vmax, Vmax] i32
+    nexthop: jnp.ndarray      # [S, Vmax, Vmax] i32 full-graph first hop
     n_vps: jnp.ndarray        # [S] i32
     vp_offset: jnp.ndarray    # [S] i32 into feat
     # features
@@ -52,9 +53,9 @@ class NavWorld:
     def tree_flatten(self):
         leaves = (self.pos, self.cand_local, self.cand_ptid, self.cand_heading,
                   self.cand_elev, self.cand_dist, self.cand_mask, self.dist,
-                  self.hops, self.n_vps, self.vp_offset, self.feat,
-                  self.obj_feat, self.obj_loc, self.obj_mask, self.obj_name,
-                  self.obj_id)
+                  self.hops, self.nexthop, self.n_vps, self.vp_offset,
+                  self.feat, self.obj_feat, self.obj_loc, self.obj_mask,
+                  self.obj_name, self.obj_id)
         return leaves, None
 
     @classmethod
@@ -115,11 +116,13 @@ class NavWorld:
 
         dist = np.full((S, Vmax, Vmax), INF_DIST, np.float32)
         hops = np.zeros((S, Vmax, Vmax), np.int32)
+        nexthop = np.full((S, Vmax, Vmax), -1, np.int32)
         for s, g in enumerate(scans):
             V = g.num_vps
             d = np.where(np.isinf(g.dist), INF_DIST, g.dist)
             dist[s, :V, :V] = d
             hops[s, :V, :V] = g.hops
+            nexthop[s, :V, :V] = g.nexthop
 
         n_vps = np.array([g.num_vps for g in scans], np.int32)
         vp_offset = np.concatenate([[0], np.cumsum(n_vps)[:-1]]).astype(np.int32)
@@ -144,7 +147,8 @@ class NavWorld:
             cand_heading=jnp.asarray(cand_heading),
             cand_elev=jnp.asarray(cand_elev), cand_dist=jnp.asarray(cand_dist),
             cand_mask=jnp.asarray(cand_mask), dist=jnp.asarray(dist),
-            hops=jnp.asarray(hops), n_vps=jnp.asarray(n_vps),
+            hops=jnp.asarray(hops), nexthop=jnp.asarray(nexthop),
+            n_vps=jnp.asarray(n_vps),
             vp_offset=jnp.asarray(vp_offset),
             feat=jnp.asarray(features, feat_dtype), **obj_kw,
         )
