@@ -1,0 +1,213 @@
+"""Pre-training CLI.
+
+Reference: pretrain_src/train_r2r_goat.py (+ train_reverie_goat.py) with
+the JSON-config overlay of pretrain_src/parser.py:144-155 (CLI wins).
+
+  python -m vln_goat_tpu.pretrain.cli --config cfg.json --synthetic
+  python -m vln_goat_tpu.pretrain.cli --anno_dir ... --img_ft_file ...
+
+Orchestration preserved: multinomial task mixing (deterministic seeded
+sampler instead of the broadcast MetaLoader), warmup+linear-decay LR,
+grad-norm 5.0, per-task validation every valid_steps, best checkpoint on
+val_unseen SAP fused accuracy `facc` (:389-399).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Dict
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("vln_goat_tpu.pretrain")
+    p.add_argument("--config", default=None, help="JSON run config overlay")
+    p.add_argument("--model_config", default=None, help="JSON model config")
+    p.add_argument("--output_dir", default="out_pretrain")
+    p.add_argument("--dataset", default="r2r",
+                   choices=["r2r", "rxr", "reverie"])
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--anno_dir", default=None)
+    p.add_argument("--img_ft_file", default=None)
+    p.add_argument("--connectivity_dir", default=None)
+    p.add_argument("--tasks", nargs="+", default=["mlm", "sap", "cfp"])
+    p.add_argument("--mix_ratio", nargs="+", type=int, default=[1, 1, 1])
+    p.add_argument("--train_batch_size", type=int, default=48)
+    p.add_argument("--learning_rate", type=float, default=5e-5)
+    p.add_argument("--num_train_steps", type=int, default=200000)
+    p.add_argument("--warmup_steps", type=int, default=10000)
+    p.add_argument("--grad_norm", type=float, default=5.0)
+    p.add_argument("--log_steps", type=int, default=1500)
+    p.add_argument("--valid_steps", type=int, default=3000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max_steps_traj", type=int, default=10)
+    p.add_argument("--max_txt_len", type=int, default=80)
+    p.add_argument("--max_gmap", type=int, default=64)
+    args = p.parse_args(argv)
+    # JSON overlay where CLI wins (parser.py:144-155): only fill values the
+    # user left at their defaults
+    if args.config:
+        with open(args.config) as f:
+            cfg = json.load(f)
+        defaults = {a.dest: a.default for a in p._actions}
+        for k, v in cfg.items():
+            if hasattr(args, k) and getattr(args, k) == defaults.get(k):
+                setattr(args, k, v)
+    return args
+
+
+def build(args):
+    import jax
+
+    from ..config import GoatConfig, PretrainConfig
+    from .data import PretrainShapes, TrajBatchBuilder, items_from_dataset
+    from .model import GoatPretrainModel
+    from .train import init_pretrain_params
+
+    mkw = {}
+    if args.model_config:
+        with open(args.model_config) as f:
+            mj = json.load(f)
+        known = GoatConfig.__dataclass_fields__
+        mkw = {k: v for k, v in mj.items() if k in known}
+    cfg = GoatConfig.for_dataset(args.dataset, **mkw)
+
+    if args.synthetic:
+        from ..rollout.env import make_synthetic_dataset
+        from ..sim.graph_sim import make_synthetic_scan
+
+        scans = [make_synthetic_scan(f"t{i}", num_vps=30, seed=i)
+                 for i in range(2)]
+        graphs = {g.scan_id: g for g in scans}
+        vtot = sum(g.num_vps for g in scans)
+        feats = np.random.default_rng(0).standard_normal(
+            (vtot, 36, cfg.image_feat_size)).astype(np.float32)
+        data = {
+            "train": make_synthetic_dataset(graphs, 64, cfg.vocab_size,
+                                            path_len=(3, 6), seed=1),
+            "val_seen": make_synthetic_dataset(graphs, 16, cfg.vocab_size,
+                                               path_len=(3, 6), seed=2),
+            "val_unseen": make_synthetic_dataset(graphs, 16, cfg.vocab_size,
+                                                 path_len=(3, 6), seed=3),
+        }
+    else:
+        from ..data.annotations import construct_instrs
+        from ..data.feature_db import ImageFeaturesDB
+        from ..sim.graph_sim import load_connectivity
+
+        data = construct_instrs(args.anno_dir, args.dataset,
+                                ["train", "val_seen", "val_unseen"])
+        scan_ids = sorted({it["scan"] for s in data.values() for it in s})
+        graphs = load_connectivity(args.connectivity_dir, scan_ids)
+        feats = ImageFeaturesDB(args.img_ft_file, cfg.image_feat_size) \
+            .as_packed_array(graphs, scan_ids)
+
+    order = list(graphs)
+    shapes = PretrainShapes(max_txt_len=args.max_txt_len,
+                            max_steps=args.max_steps_traj,
+                            max_gmap=args.max_gmap,
+                            mrc_prob_dim=1000)
+    builder = TrajBatchBuilder(graphs, order, feats, shapes,
+                               vocab_size=cfg.vocab_size, seed=args.seed)
+    items = {k: items_from_dataset(v, graphs) for k, v in data.items()}
+    model = GoatPretrainModel(cfg, tasks=tuple(args.tasks),
+                              image_prob_size=1000)
+    return dict(cfg=cfg, model=model, builder=builder, items=items)
+
+
+def train(args):
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import PretrainConfig
+    from ..train.checkpoint import save_orbax
+    from ..utils.logger import MetricsLogger, RunningMeter, \
+        write_to_record_file
+    from .train import (MetaTaskSampler, PretrainState, init_pretrain_params,
+                        make_eval_steps, make_pretrain_optimizer,
+                        make_pretrain_steps)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    record = os.path.join(args.output_dir, "pretrain.log")
+    mlog = MetricsLogger(os.path.join(args.output_dir, "metrics.jsonl"))
+
+    rt = build(args)
+    model, builder, items = rt["model"], rt["builder"], rt["items"]
+    B = args.train_batch_size
+
+    def sample_batch(split, task):
+        idx = np.random.default_rng((args.seed, split == "train",
+                                     task.__hash__() & 0xffff)).integers
+        pool = items[split]
+        chunk = [pool[i % len(pool)] for i in
+                 np.random.randint(0, len(pool), B)]
+        return jax.tree.map(jnp.asarray, builder.build_batch(chunk, task))
+
+    init_batches = {t: sample_batch("train", t) for t in args.tasks}
+    params = init_pretrain_params(model, jax.random.PRNGKey(args.seed),
+                                  init_batches)
+    pcfg = PretrainConfig(
+        tasks=tuple(args.tasks), mix_ratio=tuple(args.mix_ratio),
+        train_batch_size=B, learning_rate=args.learning_rate,
+        num_train_steps=args.num_train_steps, warmup_steps=args.warmup_steps,
+        grad_norm=args.grad_norm)
+    tx = make_pretrain_optimizer(pcfg)
+    steps = make_pretrain_steps(model, tx, args.tasks)
+    evals = make_eval_steps(model, args.tasks)
+    sampler = MetaTaskSampler(args.tasks, args.mix_ratio, seed=args.seed)
+    state = PretrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    meters = {t: RunningMeter(t) for t in args.tasks}
+    best_facc = -1.0
+
+    t0 = time.time()
+    for step in range(args.num_train_steps):
+        task = sampler.task_at(step)
+        batch = sample_batch("train", task)
+        state, m = steps[task](state, batch, jax.random.PRNGKey(step))
+        meters[task](float(m["loss"]))
+        if (step + 1) % args.log_steps == 0:
+            msg = f"step {step+1}: " + " ".join(
+                f"{t}={meters[t].val:.4f}" for t in args.tasks)
+            msg += f" ({(step+1)/(time.time()-t0):.2f} it/s)"
+            write_to_record_file(msg, record)
+            mlog.set_step(step + 1)
+            mlog.log_scalar_dict({t: meters[t].val for t in args.tasks},
+                                 prefix="train")
+        if (step + 1) % args.valid_steps == 0:
+            facc = None
+            for split in ("val_seen", "val_unseen"):
+                scores = {}
+                for t in args.tasks:
+                    vb = sample_batch(split, t)
+                    em = evals[t](state.params, vb)
+                    scores.update({f"{t}_{k}": float(v)
+                                   for k, v in em.items()})
+                write_to_record_file(f"  {split}: {scores}", record)
+                mlog.log_scalar_dict(scores, prefix=split)
+                if split == "val_unseen":
+                    facc = scores.get("sap_sap_facc",
+                                      scores.get("sap_loss", 0.0))
+            save_orbax(os.path.abspath(os.path.join(
+                args.output_dir, "ckpt_latest")), state.params)
+            if facc is not None and facc > best_facc:
+                best_facc = facc
+                save_orbax(os.path.abspath(os.path.join(
+                    args.output_dir, f"ckpt_best_{step+1}")), state.params)
+                write_to_record_file(f"  best facc {facc:.4f} @ {step+1}",
+                                     record)
+    return state
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "args.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+    train(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -55,8 +55,9 @@ class TrajBatchBuilder:
                  shapes: PretrainShapes, angle_feat_size: int = 4,
                  correct_heading: bool = True,
                  view_probs: Optional[np.ndarray] = None,
-                 mask_token_id: int = 50264, vocab_size: int = 50265,
-                 mlm_prob: float = 0.15, mrc_prob: float = 0.15, seed: int = 0):
+                 mask_token_id: Optional[int] = None, vocab_size: int = 50265,
+                 mlm_prob: float = 0.15, mrc_prob: float = 0.15,
+                 objnav: bool = False, seed: int = 0):
         self.graphs = scan_graphs
         self.scan_order = list(scan_order)
         self.scan_index = {s: i for i, s in enumerate(scan_order)}
@@ -70,10 +71,13 @@ class TrajBatchBuilder:
         self.sh = shapes
         self.afs = angle_feat_size
         self.correct_heading = correct_heading
-        self.mask_token_id = mask_token_id
+        # RoBERTa <mask> is the last vocab id (50264 of 50265)
+        self.mask_token_id = (vocab_size - 1 if mask_token_id is None
+                              else mask_token_id)
         self.vocab_size = vocab_size
         self.mlm_prob = mlm_prob
         self.mrc_prob = mrc_prob
+        self.objnav = objnav
         self.rng = np.random.default_rng(seed)
 
     # ------------------------------------------------------------------
@@ -113,15 +117,18 @@ class TrajBatchBuilder:
         return out
 
     # ------------------------------------------------------------------
-    def sample_end(self, item: dict, end_vp_type: str) -> int:
+    def sample_end(self, item: dict, end_vp_type: str,
+                   objnav: bool = False) -> int:
         g = self.graphs[item["scan"]]
         path = item["path_local"]
         if end_vp_type == "pos":
             return path[-1]
-        if end_vp_type == "neg_in_gt_path" or len(path) <= 1:
+        if end_vp_type == "neg_in_gt_path" or len(path) <= 1 or not objnav:
+            # R2R collapses neg_others onto mid-gt nodes
+            # (dataset.py:646-650: end_vps = gt_path[:-1] for both types)
             cands = path[:-1] if len(path) > 1 else path
             return cands[self.rng.integers(len(cands))]
-        # neg_others
+        # neg_others (REVERIE only: any non-path node, dataset.py:362-366)
         others = [v for v in range(g.num_vps) if v not in set(path)
                   and np.isfinite(g.dist[path[0], v])
                   and g.dist[path[0], v] < G.MAX_DIST * 30]
@@ -136,7 +143,7 @@ class TrajBatchBuilder:
         g = self.graphs[scan]
         gt_path = item["path_local"]
         start = gt_path[0]
-        end_vp = self.sample_end(item, end_vp_type)
+        end_vp = self.sample_end(item, end_vp_type, objnav=self.objnav)
         end_idx = gt_path.index(end_vp) if end_vp in gt_path else None
 
         traj = [start] + g.shortest_path(start, end_vp)

@@ -323,16 +323,23 @@ class GoatPretrainModel(nn.Module):
         gl, ll, fused = self.forward_sap(batch, deterministic)
 
         def ce(logits, labels):
+            ok = labels >= 0   # ignore_index=-100 semantics
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            return -jnp.take_along_axis(logp, labels[:, None], 1)[:, 0]
+            nll = -jnp.take_along_axis(logp, jnp.maximum(labels, 0)[:, None],
+                                       1)[:, 0]
+            return jnp.where(ok, nll, 0.0), ok
 
         g = batch["global_act_labels"]
         l = batch["local_act_labels"]
-        losses = ce(gl, g) + ce(ll, l) + ce(fused, g)
-        loss = jnp.mean(losses)
-        facc = jnp.mean((jnp.argmax(fused, -1) == g).astype(jnp.float32))
-        gacc = jnp.mean((jnp.argmax(gl, -1) == g).astype(jnp.float32))
-        lacc = jnp.mean((jnp.argmax(ll, -1) == l).astype(jnp.float32))
+        lg, okg = ce(gl, g)
+        lll, okl = ce(ll, l)
+        lf, _ = ce(fused, g)
+        n = jnp.maximum(jnp.sum(okg), 1)
+        loss = jnp.sum(lg + lf) / n + jnp.sum(lll) / jnp.maximum(jnp.sum(okl), 1)
+        facc = jnp.sum((jnp.argmax(fused, -1) == g) & okg) / n
+        gacc = jnp.sum((jnp.argmax(gl, -1) == g) & okg) / n
+        lacc = jnp.sum((jnp.argmax(ll, -1) == l) & okl) / \
+            jnp.maximum(jnp.sum(okl), 1)
         return loss, {"sap_facc": facc, "sap_gacc": gacc, "sap_lacc": lacc}
 
     # ------------------------------------------------------------------

@@ -1,0 +1,123 @@
+"""Offline confounder-dictionary tooling (capability #9).
+
+Reference: map_nav_src/do_utils/
+- extract_room_type.py (:67-156): renders 36 views per viewpoint and asks
+  BLIP-VQA "What kind of room is this?" -> pano_roomtypes.tsv.  Rendering
+  is a MatterSim-only capability; here the VQA step is a pluggable callable
+  over user-provided view images (the precomputed-features live path never
+  needs rendering, SURVEY.md section 2.3), and the rest of the pipeline —
+  per-view answers -> per-viewpoint room-type rows -> TSV — is complete.
+- do_intervention.py: ImageReader.build_zdict_and_pz (:118-148): top-K room
+  types over seen scans, mean CLIP view feature + empirical p(z) ->
+  image_z_dict TSV; TextReader.build_zdict_and_pz (:196-269): mean token
+  embeddings of landmark/direction words -> instruction z-dict TSV.
+"""
+from __future__ import annotations
+
+import csv
+import sys
+from collections import Counter, defaultdict
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .zdict import save_img_zdict_tsv, save_instr_zdict_tsv
+
+ROOMTYPE_TSV_FIELDS = ["scan", "viewpoint", "roomtypes"]
+VQA_QUESTION = "What kind of room is this?"
+
+
+def extract_room_types(scan_vps: Sequence[tuple],
+                       vqa_fn: Callable[[np.ndarray, str], str],
+                       render_fn: Callable[[str, str, int], np.ndarray],
+                       out_tsv: str):
+    """For each (scan, viewpoint): VQA over the 36 rendered views ->
+    per-view room-type answers (extract_room_type.py:90-156).
+
+    render_fn(scan, vp, view_ix) -> HxWx3 uint8; vqa_fn(image, question)
+    -> answer string.  Both are injected: rendering needs scan meshes and
+    VQA needs BLIP weights, neither of which this framework requires for
+    train/eval.
+    """
+    with open(out_tsv, "wt") as f:
+        w = csv.DictWriter(f, delimiter="\t", fieldnames=ROOMTYPE_TSV_FIELDS)
+        for scan, vp in scan_vps:
+            answers = [vqa_fn(render_fn(scan, vp, ix), VQA_QUESTION)
+                       for ix in range(36)]
+            w.writerow({"scan": scan, "viewpoint": vp,
+                        "roomtypes": ",".join(answers)})
+
+
+def load_room_types(tsv_path: str) -> Dict[tuple, List[str]]:
+    out = {}
+    with open(tsv_path) as f:
+        for row in csv.DictReader(f, delimiter="\t",
+                                  fieldnames=ROOMTYPE_TSV_FIELDS):
+            out[(row["scan"], row["viewpoint"])] = row["roomtypes"].split(",")
+    return out
+
+
+def build_image_zdict(room_types: Dict[tuple, List[str]],
+                      view_features: Callable[[str, str], np.ndarray],
+                      seen_scans: Sequence[str], top_k: int = 50,
+                      out_tsv: Optional[str] = None):
+    """Image back-door dictionary (do_intervention.py:118-148): for the
+    top_k room types over seen scans, the mean CLIP view feature of every
+    view labeled with that type, plus empirical p(z)."""
+    counts = Counter()
+    for (scan, vp), types in room_types.items():
+        if scan not in seen_scans:
+            continue
+        counts.update(types)
+    keep = [t for t, _ in counts.most_common(top_k)]
+    keep_set = set(keep)
+
+    sums: Dict[str, np.ndarray] = {}
+    ns: Dict[str, int] = defaultdict(int)
+    for (scan, vp), types in room_types.items():
+        if scan not in seen_scans:
+            continue
+        feats = view_features(scan, vp)          # [36, Df]
+        for ix, t in enumerate(types[:36]):
+            if t not in keep_set:
+                continue
+            if t not in sums:
+                sums[t] = np.zeros(feats.shape[-1], np.float64)
+            sums[t] += feats[ix]
+            ns[t] += 1
+
+    total = sum(ns.values()) or 1
+    feats_out = {t: (sums[t] / ns[t]).astype(np.float32) for t in sums}
+    pz = {t: ns[t] / total for t in sums}
+    if out_tsv:
+        save_img_zdict_tsv(out_tsv, feats_out, pz)
+    return feats_out, pz
+
+
+def build_text_zdict(landmark_words: Dict[str, int],
+                     direction_words: Dict[str, int],
+                     embed_fn: Callable[[str], np.ndarray],
+                     out_tsv: Optional[str] = None):
+    """Instruction back-door dictionary from word embeddings + corpus
+    frequencies (do_intervention.py:196-269): key -> (embedding, p(z))."""
+    def summarize(words: Dict[str, int]):
+        total = sum(words.values()) or 1
+        feats = {w: embed_fn(w).astype(np.float32) for w in words}
+        pz = {w: c / total for w, c in words.items()}
+        return feats, pz
+
+    lm_f, lm_p = summarize(landmark_words)
+    dr_f, dr_p = summarize(direction_words)
+    if out_tsv:
+        save_instr_zdict_tsv(out_tsv, lm_f, dr_f, lm_p, dr_p)
+    return (lm_f, lm_p), (dr_f, dr_p)
+
+
+def count_corpus_words(instructions: Sequence[str], picker) -> tuple:
+    """Corpus landmark/direction frequencies via the WordPicker."""
+    lm, dr = Counter(), Counter()
+    for instr in instructions:
+        landmarks, directions = picker.pick(instr)
+        lm.update(k for _, k in landmarks)
+        dr.update(k for _, k in directions)
+    return dict(lm), dict(dr)
