@@ -17,6 +17,11 @@ import time
 import jax
 import numpy as np
 
+# persistent compile cache: the rollout graph is large, recompiles are free
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 
 REF_EPISODES_PER_SEC = 24.0
 
