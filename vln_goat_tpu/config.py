@@ -90,6 +90,8 @@ class GoatConfig:
 
     # compute dtype for the TPU path ("float32" | "bfloat16"); params stay fp32
     compute_dtype: str = "float32"
+    # fused Pallas attention kernel (deterministic calls only; ops/attention.py)
+    use_pallas_attention: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -48,6 +48,7 @@ class AttentionCore(nn.Module):
     head_dim: int
     dropout_rate: float = 0.1
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, q_in, kv_in, bias=None, deterministic=True):
@@ -61,6 +62,13 @@ class AttentionCore(nn.Module):
         q = q.reshape(B, Lq, self.num_heads, self.head_dim)
         k = k.reshape(B, Lk, self.num_heads, self.head_dim)
         v = v.reshape(B, Lk, self.num_heads, self.head_dim)
+
+        if self.use_pallas and deterministic:
+            # fused single-kernel attention (attention-prob dropout needs
+            # the unfused path, so training keeps XLA)
+            from ..ops.attention import pallas_mha
+
+            return pallas_mha(q, k, v, bias)
 
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(self.head_dim)
         if bias is not None:
@@ -96,7 +104,8 @@ class BertAttention(nn.Module):
         kv = hidden if kv is None else kv
         ctx = AttentionCore(
             c.num_attention_heads, c.head_dim,
-            c.attention_probs_dropout_prob, self.dtype, name="self",
+            c.attention_probs_dropout_prob, self.dtype,
+            use_pallas=getattr(c, "use_pallas_attention", False), name="self",
         )(hidden, kv, bias, deterministic)
         return BertSelfOutput(c, self.dtype, name="output")(ctx, hidden, deterministic)
 

@@ -1,0 +1,83 @@
+"""Fused multi-head attention Pallas kernel.
+
+One kernel per (batch, head): scores = qk^T/sqrt(d) + bias -> softmax ->
+out = probs @ v, entirely in VMEM.  GOAT's attention shapes are tiny
+(<= 256 keys, head_dim 64 — instruction <=200 tokens, panorama <=72,
+gmap <=100, SURVEY.md section 5 long-context note), so the whole slice
+fits on-chip and the win over unfused XLA is avoiding the HBM round-trip
+of the [B, H, Lq, Lk] score tensor between the two matmuls.
+
+Used by models/layers.AttentionCore when GoatConfig.use_pallas_attention
+is set and the call is deterministic (attention-prob dropout needs the
+XLA path); falls back transparently otherwise.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu is importable on CPU too (kernels then run via interpret=True)
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+
+def _mha_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
+    q = q_ref[0].astype(jnp.float32)            # [Lq, dh]
+    k = k_ref[0].astype(jnp.float32)            # [Lk, dh]
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if bias_ref is not None:
+        s = s + bias_ref[0].astype(jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_mha(q, k, v, bias=None, interpret: bool = False):
+    """q [B, Lq, H, dh], k/v [B, Lk, H, dh], bias broadcastable to
+    [B, H, Lq, Lk] (additive) -> [B, Lq, H*dh].  fp32 softmax inside."""
+    B, Lq, H, dh = q.shape
+    Lk = k.shape[1]
+    qt = q.transpose(0, 2, 1, 3).reshape(B * H, Lq, dh)
+    kt = k.transpose(0, 2, 1, 3).reshape(B * H, Lk, dh)
+    vt = v.transpose(0, 2, 1, 3).reshape(B * H, Lk, dh)
+
+    in_specs = [
+        pl.BlockSpec((1, Lq, dh), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, Lk, dh), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, Lk, dh), lambda i: (i, 0, 0)),
+    ]
+    args = [qt, kt, vt]
+    if bias is not None:
+        bias = jnp.broadcast_to(bias, (B, H, Lq, Lk)).reshape(B * H, Lq, Lk)
+        in_specs.append(pl.BlockSpec((1, Lq, Lk), lambda i: (i, 0, 0)))
+        args.append(bias)
+        kernel = functools.partial(_mha_kernel, scale=1.0 / math.sqrt(dh))
+    else:
+        kernel = functools.partial(
+            lambda qr, kr, vr, orf, scale: _mha_kernel(qr, kr, vr, None, orf,
+                                                       scale=scale),
+            scale=1.0 / math.sqrt(dh))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B * H,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, Lq, dh), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, Lq, dh), q.dtype),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(B, H, Lq, dh).transpose(0, 2, 1, 3).reshape(
+        B, Lq, H * dh)

@@ -525,9 +525,16 @@ class NavRollout:
                     obj_kw = dict(obj_fts=pano["objs"]["feat"],
                                   obj_masks=pano["objs"]["mask"],
                                   obj_names=pano["objs"]["name"])
+                pano_img = pano["img"]
+                if "feat_noise" in batch:
+                    # back-translation: shared per-episode dropout noise
+                    # replaces the model's own feature dropout
+                    # (agent.py:459-474, already_dropout=True)
+                    pano_img = pano_img * batch["feat_noise"][None, None, :]
+                    obj_kw["already_dropout"] = True
                 pano_embeds, pano_masks, pano_fused = apply(
                     params, rp, GoatModel.forward_panorama,
-                    pano["img"], pano["loc"], pano["nav_types"], pano["mask"],
+                    pano_img, pano["loc"], pano["nav_types"], pano["mask"],
                     **obj_kw)
                 if pano_fused is None:  # avg fallback (agent.py:550-552)
                     m = pano_masks[..., None].astype(pano_embeds.dtype)
