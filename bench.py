@@ -27,6 +27,10 @@ REF_EPISODES_PER_SEC = 24.0
 
 
 def main():
+    import os
+
+    import jax.numpy as jnp
+
     from vln_goat_tpu.config import GoatConfig
     from vln_goat_tpu.models.goat import GoatModel
     from vln_goat_tpu.rollout.env import EpisodeBatcher, make_synthetic_dataset
@@ -35,14 +39,22 @@ def main():
     from vln_goat_tpu.sim.graph_sim import make_synthetic_scan
     from vln_goat_tpu.train.params import init_goat_params
 
-    B = 32
+    # batch sweep on v5e: 474 eps/s @32, 596 @128, 577 @256 -> default 128
+    B = int(os.environ.get("GOAT_BENCH_B", "128"))
+    # NOTE use_pallas_attention stays off: the fused kernel wins 1.3-2.1x in
+    # isolation on v5e, but inside the full rollout the pallas call boundary
+    # blocks XLA from fusing the q/k/v projections and layout changes into
+    # the attention, netting 334 vs 474 eps/s. Revisit with qkv folded into
+    # the kernel.
     cfg = GoatConfig.for_dataset("r2r")
     rcfg = RolloutConfig(num_nodes=48, horizon=15, feat_dim=768)
     # Matterport-like scale: 4 scans x 120 viewpoints
     scans = [make_synthetic_scan(f"s{i}", num_vps=120, degree=4, seed=i)
              for i in range(4)]
+    import os
+    bf16 = os.environ.get("GOAT_BF16", "1") == "1"
     world = NavWorld.build(scans, feat_dim=768, seed=0)
-    model = GoatModel(cfg)
+    model = GoatModel(cfg, dtype=jnp.bfloat16 if bf16 else jnp.float32)
     params = init_goat_params(model, jax.random.PRNGKey(0), max_cands=16,
                               num_nodes=rcfg.num_nodes)
     ro = NavRollout(model, world, rcfg)

@@ -376,6 +376,24 @@ class GoatModel(nn.Module):
         }
 
 
+class Critic(nn.Module):
+    """Value head 768->512->1 (models/model.py:40-51).  Constructed and
+    optimized by the reference but never trained — no RL loss is ever
+    computed (rollout accumulates IL loss only, r2r/agent.py:614-621);
+    provided for API/checkpoint parity.  torch names state2value.0/.3."""
+
+    config: GoatConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, state, deterministic=True):
+        h = _dense(512, "state2value_0", self.dtype)(state)
+        h = jax.nn.relu(h)
+        h = nn.Dropout(self.config.hidden_dropout_prob)(
+            h, deterministic=deterministic)
+        return _dense(1, "state2value_3", self.dtype)(h).squeeze(-1)
+
+
 class FrontDoorEncoder(nn.Module):
     """FACL front-door encoder (vilmodel_GOAT.py:526-554): self-attn +
     cross-attn to the k-means dictionary, gated 'door' merge."""

@@ -27,13 +27,15 @@ class EpisodeBatcher:
 
     def __init__(self, data: List[dict], scan_graphs: Dict[str, ScanGraph],
                  scan_order: Sequence[str], batch_size: int,
-                 max_instr_len: int = 200, max_gt_len: int = 20, seed: int = 0):
+                 max_instr_len: int = 200, max_gt_len: int = 20,
+                 env_edit: bool = False, seed: int = 0):
         self.data = list(data)
         self.scan_graphs = scan_graphs
         self.scan_index = {s: i for i, s in enumerate(scan_order)}
         self.batch_size = batch_size
         self.max_instr_len = max_instr_len
         self.max_gt_len = max_gt_len
+        self.env_edit = env_edit
         self.rng = random.Random(seed)
         self.rng.shuffle(self.data)
         self.ix = 0
@@ -85,13 +87,18 @@ class EpisodeBatcher:
             txt_ids[i, :len(enc)] = enc
             txt_masks[i, :len(enc)] = True
 
-        return dict(
+        out = dict(
             scan_idx=jnp.asarray(scan_idx), start_vp=jnp.asarray(start_vp),
             start_view=jnp.asarray(start_view), gt_path=jnp.asarray(gt_path),
             gt_len=jnp.asarray(gt_len),
             txt_ids=jnp.asarray(txt_ids.astype(np.int32)),
             txt_masks=jnp.asarray(txt_masks),
         )
+        if self.env_edit:
+            # alternate original/EnvEdit-augmented features across the batch
+            # (r2r/env.py:78-84)
+            out["use_aug"] = jnp.asarray(np.arange(B) % 2 == 0)
+        return out
 
     def next_batch(self) -> tuple:
         items = self.next_minibatch()

@@ -241,7 +241,8 @@ class NavRollout:
         bidx = jnp.arange(B)
         scan = batch["scan_idx"]
         cur_vp = st["node_vp"][bidx, st["cur"]]
-        feats = w.get_feat(scan, cur_vp)                 # [B, 36, Df]
+        feats = w.get_feat(scan, cur_vp,
+                           batch.get("use_aug"))         # [B, 36, Df]
         cands = w.get_cands(scan, cur_vp)
         K = cands["local"].shape[1]
         vi = st["view_ix"]
@@ -487,9 +488,10 @@ class NavRollout:
 
     # ------------------------------------------------------------------
     def build_rollout(self, feedback: str = "argmax", train_ml: bool = False,
-                      deterministic: bool = True):
+                      deterministic: bool = True,
+                      expl_max_ratio: float = 0.6):
         """Returns rollout(params, batch, rng) -> outputs dict.  `feedback`
-        in {teacher, sample, argmax} (agent.py:624-647)."""
+        in {teacher, sample, argmax, expl_sample} (agent.py:624-647)."""
         model, w, r, c = self.model, self.world, self.rcfg, self.mcfg
 
         def apply(params, rng, method, *args, **kw):
@@ -620,6 +622,18 @@ class NavRollout:
                     a = jax.random.categorical(
                         jax.random.fold_in(rng_t, 7), logits, axis=1
                     ).astype(jnp.int32)
+                elif feedback == "expl_sample":
+                    # argmax, but with prob (1 - expl_max_ratio) jump to a
+                    # uniformly random reachable unvisited node
+                    # (agent.py:634-644)
+                    a = jnp.argmax(logits, axis=1).astype(jnp.int32)
+                    r1, r2 = jax.random.split(jax.random.fold_in(rng_t, 11))
+                    explore = jax.random.uniform(r1, (B,)) > expl_max_ratio
+                    ok = jnp.isfinite(logits)
+                    rnd = jax.random.categorical(
+                        r2, jnp.where(ok, 0.0, -jnp.inf), axis=1
+                    ).astype(jnp.int32)
+                    a = jnp.where(explore, rnd, a)
                 else:
                     raise ValueError(feedback)
 
@@ -714,6 +728,28 @@ class NavRollout:
 
 
 # ----------------------------------------------------------------------
+def trajectory_to_json(batch_np: Dict[str, np.ndarray],
+                       out_np: Dict[str, np.ndarray], b: int,
+                       vp_ids=None) -> dict:
+    """Episode graph dump for visualization (GraphMap.save_to_json,
+    models/graph_utils.py:146-164): nodes with visited flags + stop probs,
+    the predicted path, and the chosen stop node."""
+    node_vp = out_np["node_vp"][b]
+    n = int(out_np["n_nodes"][b])
+    nodes = {}
+    paths = assemble_trajectories(batch_np, out_np)
+    for i in range(n):
+        vp = int(node_vp[i])
+        name = vp_ids[vp] if vp_ids is not None else str(vp)
+        nodes[name] = {"visited": vp in paths[b]}
+    stop_vp = int(node_vp[out_np["stop_node"][b]])
+    return {
+        "nodes": nodes,
+        "path": [vp_ids[v] if vp_ids is not None else v for v in paths[b]],
+        "stop_node": vp_ids[stop_vp] if vp_ids is not None else stop_vp,
+    }
+
+
 def assemble_trajectories(batch_np: Dict[str, np.ndarray],
                           out_np: Dict[str, np.ndarray],
                           include_backtrack: bool = True) -> list:

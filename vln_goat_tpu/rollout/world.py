@@ -43,6 +43,9 @@ class NavWorld:
     vp_offset: jnp.ndarray    # [S] i32 into feat
     # features
     feat: jnp.ndarray         # [Vtot, 36, Df]
+    # EnvEdit augmented features, zero-width [0, 36, Df] when absent
+    # (r2r/env.py:78-84 alternation)
+    feat_aug: jnp.ndarray = None
     # objects (REVERIE/SOON; zero-width when absent)
     obj_feat: jnp.ndarray = None     # [Vtot, Lo, Dobj]
     obj_loc: jnp.ndarray = None      # [Vtot, Lo, A+3] (angle + box fts)
@@ -51,11 +54,13 @@ class NavWorld:
     obj_id: jnp.ndarray = None       # [Vtot, Lo] i32 dataset object id
 
     def tree_flatten(self):
+        # NOTE all leaves must be arrays (None would vanish from the pytree
+        # and break unflatten); build() materializes zero-width arrays.
         leaves = (self.pos, self.cand_local, self.cand_ptid, self.cand_heading,
                   self.cand_elev, self.cand_dist, self.cand_mask, self.dist,
                   self.hops, self.nexthop, self.n_vps, self.vp_offset,
-                  self.feat, self.obj_feat, self.obj_loc, self.obj_mask,
-                  self.obj_name, self.obj_id)
+                  self.feat, self.feat_aug, self.obj_feat, self.obj_loc,
+                  self.obj_mask, self.obj_name, self.obj_id)
         return leaves, None
 
     @classmethod
@@ -75,6 +80,10 @@ class NavWorld:
     def num_objs(self) -> int:
         return 0 if self.obj_feat is None else self.obj_feat.shape[1]
 
+    @property
+    def has_aug(self) -> bool:
+        return self.feat_aug is not None and self.feat_aug.shape[0] > 0
+
     def get_objs(self, scan, vp):
         """Object tables for (scan, vp): each [B, Lo, ...]."""
         g = self.vp_offset[scan] + vp
@@ -86,7 +95,9 @@ class NavWorld:
     def build(cls, scans: Sequence[ScanGraph],
               features: Optional[np.ndarray] = None,
               feat_dim: int = 768, feat_dtype=jnp.float32,
-              objects: Optional[dict] = None, seed: int = 0) -> "NavWorld":
+              objects: Optional[dict] = None,
+              aug_features: Optional[np.ndarray] = None,
+              seed: int = 0) -> "NavWorld":
         """Pack ScanGraphs (+ per-viewpoint 36-view features) onto device.
 
         features: [sum(V_s), 36, Df] in scan order, or None for random
@@ -132,7 +143,6 @@ class NavWorld:
             features = rng.standard_normal((vtot, 36, feat_dim)).astype(np.float32)
         assert features.shape[0] == vtot, (features.shape, vtot)
 
-        obj_kw = {}
         if objects is not None:
             obj_kw = dict(
                 obj_feat=jnp.asarray(objects["feat"], feat_dtype),
@@ -141,6 +151,17 @@ class NavWorld:
                 obj_name=jnp.asarray(objects["name"], jnp.int32),
                 obj_id=jnp.asarray(objects["oid"], jnp.int32),
             )
+        else:
+            obj_kw = dict(
+                obj_feat=jnp.zeros((vtot, 0, 1), feat_dtype),
+                obj_loc=jnp.zeros((vtot, 0, 7)),
+                obj_mask=jnp.zeros((vtot, 0), bool),
+                obj_name=jnp.zeros((vtot, 0), jnp.int32),
+                obj_id=jnp.zeros((vtot, 0), jnp.int32),
+            )
+        obj_kw["feat_aug"] = (
+            jnp.asarray(aug_features, feat_dtype) if aug_features is not None
+            else jnp.zeros((0, 36, feat_dim), feat_dtype))
         return cls(
             pos=jnp.asarray(pos), cand_local=jnp.asarray(cand_local),
             cand_ptid=jnp.asarray(cand_ptid),
@@ -155,8 +176,12 @@ class NavWorld:
 
     # ------------------------------------------------------------------
     # gathers used by the rollout (scan = [B] scan index, vp = [B] local idx)
-    def get_feat(self, scan, vp):
-        return self.feat[self.vp_offset[scan] + vp]
+    def get_feat(self, scan, vp, use_aug=None):
+        idx = self.vp_offset[scan] + vp
+        base = self.feat[idx]
+        if use_aug is None or not self.has_aug:
+            return base
+        return jnp.where(use_aug[:, None, None], self.feat_aug[idx], base)
 
     def get_pos(self, scan, vp):
         return self.pos[scan, vp]
