@@ -376,3 +376,24 @@ def test_pretrain_sap_and_cfp_parity(oracle):
     if both.any():
         np.testing.assert_allclose(np.asarray(ofu)[both],
                                    rf.numpy()[both], atol=1e-4, rtol=1e-3)
+
+    # ---- MLM text streams (vilmodel_goat.forward_mlm:597-648: text as
+    # query over gmap/vp keys, summed) ----
+    with torch.no_grad():
+        ref_txt = o["tm"].bert.forward_mlm(
+            txt_ids, txt_lens, t_views, None, t_locs, t_nav, step_lens,
+            t_vp_view_lens, None, traj_vpids, traj_cand_vpids, t_gmap_lens,
+            gmap_step_ids, gmap_pos_fts, gmap_pair, gmap_vpids, t_vp_pos)
+        # project two positions through the tied MLM head
+        pos = torch.tensor([[1, 2], [1, 2]])
+        gathered = ref_txt[torch.arange(B)[:, None], pos]
+        ref_logits = o["tm"].mlm_head(gathered)
+
+    mlm_batch = dict(ex_batch)
+    mlm_batch["mlm_pos"] = np.asarray([[1, 2], [1, 2]], np.int32)
+    mlm_batch["mlm_tgt"] = np.zeros((B, 2), np.int32)
+    our_logits = o["ours"].apply(
+        o["variables"], jax.tree.map(jnp.asarray, mlm_batch),
+        method=GoatPretrainModel.forward_mlm)
+    np.testing.assert_allclose(np.asarray(our_logits),
+                               ref_logits.numpy(), atol=2e-4, rtol=1e-3)
