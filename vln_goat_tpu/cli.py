@@ -30,7 +30,11 @@ import numpy as np
 def parse_args(argv=None):
     p = argparse.ArgumentParser("vln_goat_tpu")
     p.add_argument("--mode", required=True,
-                   choices=["train", "valid", "extract_cfp_features"])
+                   choices=["train", "valid", "extract_cfp_features",
+                            "speaker"])
+    p.add_argument("--speaker_iters", type=int, default=2000)
+    p.add_argument("--speaker_lr", type=float, default=1e-4)
+    p.add_argument("--speaker_angle_size", type=int, default=128)
     p.add_argument("--dataset", default="r2r",
                    choices=["r2r", "rxr", "reverie", "soon"])
     p.add_argument("--output_dir", default="out")
@@ -367,6 +371,89 @@ def extract_cfp(args, rt):
     print(f"wrote {out_tsv}: {feats['txt_feats'].shape[0]} trajectories")
 
 
+def train_speaker(args, rt):
+    """Speaker training with BLEU-gated model selection
+    (reverie/main_nav_obj.py:258-404 + bleu gate :338-371)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .eval.bleu import corpus_bleu
+    from .speaker.model import SpeakerConfig
+    from .speaker.speaker import Speaker, build_path_batch
+    from .train.checkpoint import save_orbax
+    from .utils.logger import write_to_record_file
+
+    cfg = rt["cfg"]
+    record = os.path.join(args.output_dir, "speaker.log")
+    scfg = SpeakerConfig(
+        vocab_size=cfg.vocab_size,
+        feature_size=cfg.image_feat_size + args.speaker_angle_size,
+        image_feat_size=cfg.image_feat_size,
+        max_decode=min(120, cfg.max_instr_len))
+    sp = Speaker(scfg, rng=jax.random.PRNGKey(args.seed))
+    step_fn, opt_state = sp.make_train_step(lr=args.speaker_lr)
+    params = sp.params
+
+    graphs = rt["graphs"]
+    features = np.asarray(rt["world"].feat, np.float32)
+    offsets = {}
+    total = 0
+    for s in rt["scan_order"]:
+        offsets[s] = total
+        total += graphs[s].num_vps
+
+    def to_items(data):
+        return [{**d, "path_local": [graphs[d["scan"]].index[v]
+                                     for v in d["path"]]} for d in data]
+
+    def make_speaker_batch(items, L):
+        fb = build_path_batch(graphs, features, offsets, items,
+                              max_steps=cfg.max_action_len,
+                              angle_feat_size=args.speaker_angle_size,
+                              image_feat_size=cfg.image_feat_size)
+        toks = np.zeros((len(items), L + 1), np.int32)
+        for i, it in enumerate(items):
+            enc = [scfg.bos_id] + list(it["instr_encoding"])[:L - 1]
+            enc.append(scfg.eos_id)
+            toks[i, :len(enc)] = enc
+        import jax.numpy as jnp
+        return {**jax.tree.map(jnp.asarray, fb), "tokens": jnp.asarray(toks)}
+
+    train_items = to_items(rt["batchers"]["train"].data)
+    L = min(cfg.max_instr_len, 60)
+    rng = np.random.default_rng(args.seed)
+    best_bleu = -1.0
+    for it in range(args.speaker_iters):
+        idx = rng.integers(0, len(train_items), args.batch_size)
+        batch = make_speaker_batch([train_items[i] for i in idx], L)
+        params, opt_state, loss = step_fn(params, opt_state, batch,
+                                          jax.random.PRNGKey(it))
+        if (it + 1) % max(args.log_every // 10, 1) == 0:
+            # BLEU gate on val splits
+            hyps, refs = [], []
+            for split in ("val_seen", "val_unseen"):
+                if split not in rt["batchers"]:
+                    continue
+                v_items = to_items(rt["batchers"][split].data)[:32]
+                vb = make_speaker_batch(v_items, L)
+                toks = np.asarray(sp.infer(params, vb))
+                for row, item in zip(toks, v_items):
+                    seq = list(row)
+                    if scfg.eos_id in seq:
+                        seq = seq[:seq.index(scfg.eos_id)]
+                    hyps.append(seq)
+                    refs.append([list(item["instr_encoding"])])
+            bleu4, _ = corpus_bleu(hyps, refs, smooth=True)
+            write_to_record_file(
+                f"speaker iter {it+1}: loss {float(loss):.4f} "
+                f"bleu4 {bleu4:.4f}", record)
+            if bleu4 > best_bleu:
+                best_bleu = bleu4
+                save_orbax(os.path.abspath(os.path.join(
+                    args.output_dir, "speaker_best")), params)
+    return params
+
+
 def main(argv=None):
     args = parse_args(argv)
     from .utils.misc import set_seed
@@ -382,6 +469,8 @@ def main(argv=None):
         train(args, rt)
     elif args.mode == "valid":
         valid(args, rt)
+    elif args.mode == "speaker":
+        train_speaker(args, rt)
     else:
         extract_cfp(args, rt)
 

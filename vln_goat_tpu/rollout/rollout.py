@@ -689,13 +689,45 @@ class NavRollout:
                            just_ended=just_ended, loss=step_loss)
                 return st, rec
 
-            xs = (jnp.arange(r.horizon),
-                  jax.random.split(rng_loop, r.horizon))
-            # rematerialize each step during training: the backward through
-            # T=15 full model forwards recomputes instead of storing
-            # activations (HBM is the bottleneck, FLOPs are cheap)
-            body = jax.checkpoint(step) if train_ml else step
-            st, recs = jax.lax.scan(body, st, xs)
+            keys = jax.random.split(rng_loop, r.horizon)
+            if train_ml:
+                # rematerialize each step during training: the backward
+                # through T=15 full model forwards recomputes instead of
+                # storing activations (HBM is the bottleneck, FLOPs cheap)
+                xs = (jnp.arange(r.horizon), keys)
+                st, recs = jax.lax.scan(jax.checkpoint(step), st, xs)
+            else:
+                # inference: early-exit while_loop — episodes average far
+                # fewer than `horizon` steps (the reference breaks when all
+                # ended, agent.py:693-694); skipped steps were masked no-ops
+                # anyway, so records keep their defaults
+                T = r.horizon
+                B = batch["scan_idx"].shape[0]
+
+                def mk_rec():
+                    return dict(
+                        action_node=jnp.full((T, B), -1, jnp.int32),
+                        seg=jnp.full((T, B, r.seg_len), -1, jnp.int32),
+                        seg_hops=jnp.zeros((T, B)),
+                        target=jnp.full((T, B), IGNORE_ID, jnp.int32),
+                        logits_stop=jnp.zeros((T, B)),
+                        just_ended=jnp.zeros((T, B), bool),
+                        loss=jnp.zeros((T,)),
+                    )
+
+                def cond(carry):
+                    st_c, recs_c, t = carry
+                    return (t < T) & ~jnp.all(st_c["ended"])
+
+                def body(carry):
+                    st_c, recs_c, t = carry
+                    st_c, rec = step(st_c, (t, keys[jnp.minimum(t, T - 1)]))
+                    recs_c = {k: recs_c[k].at[t].set(v)
+                              for k, v in rec.items()}
+                    return (st_c, recs_c, t + 1)
+
+                st, recs, _ = jax.lax.while_loop(
+                    cond, body, (st, mk_rec(), jnp.zeros((), jnp.int32)))
 
             # final stop-node backtrack (agent.py:666-681)
             best_stop = jnp.argmax(st["stop_prob"][:, :r.num_nodes],
