@@ -47,18 +47,26 @@ jax.tree_util.register_pytree_node_class(TrainState)
 
 def make_optimizer(lr: float = 2e-5, weight_decay: float = 0.0,
                    grad_clip: float = 40.0,
-                   warmup_steps: int = 0, total_steps: Optional[int] = None):
-    """AdamW + global-norm clip (reference defaults)."""
+                   warmup_steps: int = 0, total_steps: Optional[int] = None,
+                   accumulate_steps: int = 1, finite_guard: bool = False):
+    """AdamW + global-norm clip (reference defaults).  accumulate_steps>1
+    = the reference's --accumulateGrad (agent.py:407-445) as
+    optax.MultiSteps; finite_guard skips non-finite updates."""
     if warmup_steps and total_steps:
         sched = optax.warmup_cosine_decay_schedule(
             0.0, lr, warmup_steps, total_steps, end_value=lr * 0.01)
     else:
         sched = lr
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8,
                     weight_decay=weight_decay),
     )
+    if finite_guard:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=10)
+    if accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
+    return tx
 
 
 def make_train_step(rollout: NavRollout, tx,
