@@ -82,6 +82,10 @@ def parse_args(argv=None):
     p.add_argument("--z_instr_update", action="store_true")
     p.add_argument("--update_iter", type=int, default=3000)
     p.add_argument("--front_n_clusters", type=int, default=24)
+    p.add_argument("--expl_sample", action="store_true")
+    p.add_argument("--expl_max_ratio", type=float, default=0.6)
+    p.add_argument("--cat_file", default=None,
+                   help="category_mapping.tsv for the landmark word picker")
 
     # training
     p.add_argument("--iters", type=int, default=150000)
@@ -140,13 +144,29 @@ def build_runtime(args):
     if args.max_instr_len:
         cfg = cfg.replace(max_instr_len=args.max_instr_len)
 
+    objects = None
     if args.synthetic:
         from .sim.graph_sim import make_synthetic_scan
 
         scans = [make_synthetic_scan(f"s{i}", num_vps=40, seed=i)
                  for i in range(3)]
         graphs = {g.scan_id: g for g in scans}
-        world = NavWorld.build(scans, feat_dim=cfg.image_feat_size, seed=0)
+        if cfg.is_objnav:
+            # synthetic object store (REVERIE fixture)
+            orng = np.random.default_rng(7)
+            vtot = sum(g.num_vps for g in scans)
+            Lo = 8
+            objects = dict(
+                feat=orng.standard_normal(
+                    (vtot, Lo, cfg.obj_feat_size)).astype(np.float32),
+                loc=orng.standard_normal(
+                    (vtot, Lo, cfg.angle_feat_size + 3)).astype(np.float32),
+                mask=orng.random((vtot, Lo)) < 0.8,
+                name=orng.integers(0, cfg.obj_name_vocab_size, (vtot, Lo)),
+                oid=np.arange(vtot * Lo).reshape(vtot, Lo),
+            )
+        world = NavWorld.build(scans, feat_dim=cfg.image_feat_size,
+                               objects=objects, seed=0)
         splits = {}
         for name, n, seed in [("train", 64, 1), ("val_seen", 16, 2),
                               ("val_unseen", 16, 3)]:
@@ -154,6 +174,19 @@ def build_runtime(args):
                 graphs, n, vocab_size=cfg.vocab_size,
                 max_instr_len=min(cfg.max_instr_len, 48),
                 path_len=(3, 6), seed=seed)
+        if objects is not None:
+            # attach a gt object id visible at the goal viewpoint
+            offs, total = {}, 0
+            for g in scans:
+                offs[g.scan_id] = total
+                total += g.num_vps
+            for data in splits.values():
+                for it in data:
+                    g = graphs[it["scan"]]
+                    goal = g.index[it["path"][-1]]
+                    row = offs[it["scan"]] + goal
+                    k = int(np.argmax(objects["mask"][row]))
+                    it["objId"] = int(objects["oid"][row, k])
     else:
         from .data.annotations import construct_instrs
         from .data.feature_db import ImageFeaturesDB
@@ -169,15 +202,28 @@ def build_runtime(args):
                                    max_cands=args.max_cands)
         feat_db = ImageFeaturesDB(args.img_ft_file, cfg.image_feat_size)
         features = feat_db.as_packed_array(graphs, scan_ids)
+        aug_features = None
+        if args.aug_ft_file:
+            aug_features = ImageFeaturesDB(
+                args.aug_ft_file, cfg.image_feat_size
+            ).as_packed_array(graphs, scan_ids)
+        if cfg.is_objnav and args.obj_ft_file:
+            from .data.feature_db import ObjectFeaturesDB
+
+            objects = ObjectFeaturesDB(
+                args.obj_ft_file, cfg.obj_feat_size,
+                cfg.angle_feat_size).as_packed_arrays(graphs, scan_ids)
         world = NavWorld.build([graphs[s] for s in scan_ids],
-                               features=features,
+                               features=features, objects=objects,
+                               aug_features=aug_features,
                                feat_dim=cfg.image_feat_size)
 
     scan_order = list(graphs)
     model = GoatModel(cfg)
     params = init_goat_params(model, jax.random.PRNGKey(args.seed),
                               max_cands=args.max_cands,
-                              num_nodes=args.num_nodes)
+                              num_nodes=args.num_nodes,
+                              max_obj=max(world.num_objs, 1))
     if args.bert_ckpt_file or args.resume_file:
         from .train.checkpoint import (load_reference_checkpoint, merge_loaded,
                                        torch_to_flax, load_orbax)
@@ -204,9 +250,82 @@ def build_runtime(args):
             max_gt_len=cfg.max_action_len + 1, seed=args.seed + i)
         for i, (name, data) in enumerate(splits.items())
     }
-    return dict(cfg=cfg, model=model, params=params, world=world,
-                rollout=rollout, batchers=batchers, graphs=graphs,
-                scan_order=scan_order)
+    rt = dict(cfg=cfg, model=model, params=params, world=world,
+              rollout=rollout, batchers=batchers, graphs=graphs,
+              scan_order=scan_order, objects=objects, args=args)
+    _load_causal_banks(args, rt)
+    return rt
+
+
+def _load_causal_banks(args, rt):
+    """Load BACL z-dict TSVs + FACL front-door picker (main_nav.py:31-137
+    build_dataset equivalents)."""
+    from .tools.zdict import load_img_zdict_tsv, load_instr_zdict_tsv
+
+    banks = {}
+    if args.instr_zdict_file and (args.do_back_txt or args.do_front_txt):
+        banks.update(load_instr_zdict_tsv(args.instr_zdict_file))
+    if args.img_zdict_file and args.do_back_img:
+        img = load_img_zdict_tsv(args.img_zdict_file)
+        banks["img_z_features"] = img["img_features"]
+        banks["img_z_pzs"] = img["img_pzs"]
+    rt["banks"] = banks
+    rt["front_picker"] = None
+    if args.front_feat_file and (args.do_front_txt or args.do_front_img
+                                 or args.do_front_his):
+        from .tools.cfp_extract import load_cfp_tsv
+        from .tools.kmeans import FrontDoorPicker
+
+        feats = load_cfp_tsv(args.front_feat_file,
+                             dim=rt["cfg"].hidden_size)
+        rt["front_picker"] = FrontDoorPicker(
+            {k: feats[k] for k in ("txt_feats", "vp_feats", "gmap_feats")},
+            n_clusters=args.front_n_clusters, seed=args.seed)
+    _refresh_front_dict(args, rt)
+
+
+def _refresh_front_dict(args, rt):
+    """Per-cycle front-door resampling (utils/data.py:450-480 +
+    main_nav.py picker refresh)."""
+    if rt.get("front_picker") is None:
+        return
+    pick = rt["front_picker"].random_pick()
+    names = {"txt_feats": ("front_txt_feats", args.do_front_txt),
+             "vp_feats": ("front_vp_feats", args.do_front_img),
+             "gmap_feats": ("front_gmap_feats", args.do_front_his)}
+    for src, (dst, on) in names.items():
+        if on:
+            rt["banks"][dst] = pick[src]
+
+
+def causal_batch(rt, batch, items=None):
+    """Attach causal banks (+REVERIE gt object slots) to an episode batch."""
+    import jax.numpy as jnp
+
+    from .tools.zdict import broadcast_zdict
+
+    B = int(batch["scan_idx"].shape[0])
+    out = dict(batch)
+    if rt.get("banks"):
+        out.update(broadcast_zdict(rt["banks"], B))
+    if items is not None and rt.get("objects") is not None and \
+            all("objId" in it for it in items):
+        # gt object slot at the goal viewpoint (reverie OG supervision)
+        off = 2 + rt["world"].max_cands + 36
+        gt_slot = np.full((B,), -1, np.int32)
+        offsets, total = {}, 0
+        for s in rt["scan_order"]:
+            offsets[s] = total
+            total += rt["graphs"][s].num_vps
+        for b, it in enumerate(items):
+            g = rt["graphs"][it["scan"]]
+            goal = g.index[it["path"][-1]]
+            row = rt["objects"]["oid"][offsets[it["scan"]] + goal]
+            hit = np.nonzero(row == int(it["objId"]))[0]
+            if len(hit):
+                gt_slot[b] = off + int(hit[0])
+        out["gt_obj_slot"] = jnp.asarray(gt_slot)
+    return out
 
 
 # ----------------------------------------------------------------------
@@ -215,7 +334,8 @@ def run_validation(rt, split: str, max_batches: Optional[int] = None):
     (main_nav.py:338-391 / agent_base.py:44-67)."""
     import jax
 
-    from .eval.metrics import eval_item, eval_metrics
+    from .eval.metrics import (eval_item, eval_metrics, reverie_eval_item,
+                               reverie_eval_metrics)
     from .rollout.rollout import assemble_trajectories
 
     batcher = rt["batchers"][split]
@@ -223,11 +343,14 @@ def run_validation(rt, split: str, max_batches: Optional[int] = None):
     fn = rt["rollout"].jitted(feedback="argmax", train_ml=False)
     seen = set()
     per_item, preds = [], []
+    objnav = rt["cfg"].is_objnav and rt.get("objects") is not None
+    obj2vps = rt.get("obj2vps") or {}
     n_batches = int(np.ceil(batcher.size() / batcher.batch_size))
     if max_batches:
         n_batches = min(n_batches, max_batches)
     for bi in range(n_batches):
         items, batch = batcher.next_batch()
+        batch = causal_batch(rt, batch, items)
         out = jax.tree.map(np.asarray, fn(rt["params"], batch,
                                           jax.random.PRNGKey(bi)))
         batch_np = jax.tree.map(np.asarray, batch)
@@ -238,12 +361,26 @@ def run_validation(rt, split: str, max_batches: Optional[int] = None):
             seen.add(it["instr_id"])
             g = rt["graphs"][it["scan"]]
             gt_local = [g.index[v] for v in it["path"]]
-            per_item.append(eval_item(g.dist, paths[b], gt_local))
-            preds.append({
-                "instr_id": it["instr_id"],
-                "trajectory": [[g.vp_ids[v]] for v in paths[b]],
-            })
-    return eval_metrics(per_item), preds
+            pred = {"instr_id": it["instr_id"],
+                    "trajectory": [[g.vp_ids[v]] for v in paths[b]]}
+            if objnav and "objId" in it:
+                # REVERIE metrics (reverie/env.py:530-553); obj2vps falls
+                # back to the gt goal viewpoint when no mapping is loaded
+                goals = obj2vps.get(
+                    (it["scan"], str(it["objId"])), [gt_local[-1]])
+                pred_oid = int(out.get("pred_obj_id", np.full(1, -1))[b]) \
+                    if "pred_obj_id" in out else -1
+                per_item.append(reverie_eval_item(
+                    g.dist, paths[b], pred_oid, gt_local, goals,
+                    it["objId"]))
+                pred["pred_objid"] = pred_oid
+            else:
+                per_item.append(eval_item(g.dist, paths[b], gt_local))
+            preds.append(pred)
+    agg = reverie_eval_metrics(per_item) if (objnav and per_item
+                                             and "rgs" in per_item[0]) \
+        else eval_metrics(per_item)
+    return agg, preds
 
 
 def train(args, rt):
@@ -260,9 +397,10 @@ def train(args, rt):
     mlog = MetricsLogger(os.path.join(args.output_dir, "metrics.jsonl"))
 
     tx = make_optimizer(lr=args.lr, grad_clip=args.grad_clip)
-    step_fn = jax.jit(make_train_step(rt["rollout"], tx,
-                                      train_alg=args.train_alg,
-                                      ml_weight=args.ml_weight))
+    step_fn = jax.jit(make_train_step(
+        rt["rollout"], tx, train_alg=args.train_alg,
+        ml_weight=args.ml_weight,
+        sample_feedback="expl_sample" if args.expl_sample else "sample"))
     state = init_train_state(rt["params"], tx)
     batcher = rt["batchers"]["train"]
     meter = RunningMeter("loss")
@@ -282,7 +420,8 @@ def train(args, rt):
     for it in range(0, args.iters, args.log_every):
         interval = min(args.log_every, args.iters - it)
         for j in range(interval):
-            _, batch = batcher.next_batch()
+            items, batch = batcher.next_batch()
+            batch = causal_batch(rt, batch, items)
             state, metrics = step_fn(state, batch,
                                      jax.random.PRNGKey(it + j))
             meter(float(metrics["loss"]))
@@ -315,10 +454,39 @@ def train(args, rt):
                 state.params)
             write_to_record_file(f"  new best @ {step}: {best['score']:.2f}",
                                  record_file)
+        _refresh_front_dict(args, rt)  # per-cycle FACL resampling
         if args.z_instr_update and step % args.update_iter == 0:
-            write_to_record_file("  z-dict refresh hook (BACL online update)",
-                                 record_file)
+            _update_zdict(args, rt, state.params, record_file)
     return state
+
+
+def _update_zdict(args, rt, params, record_file):
+    """Online BACL instruction z-dict refresh (main_nav.py:192,311-324 +
+    agent.update_z_dict)."""
+    from .tools.zdict import WordPicker, update_instr_zdict
+    from .utils.logger import write_to_record_file
+
+    data = rt["batchers"]["train"].data
+    if not data or "instruction" not in data[0]:
+        return
+    picker = WordPicker(cat_file=args.cat_file)
+    # tokenizer-free fallback alignment: whitespace words, no continuations
+    # (exact subword alignment needs the HF tokenizer, available when the
+    # datasets are: data/annotations.py ships tokenized encodings)
+    zd, lm_f, dr_f, lm_pz, dr_pz = update_instr_zdict(
+        rt["model"], params, data[:512], picker,
+        tokens_of=lambda d: d["instruction"].split(),
+        is_continuation=lambda t: False,
+        max_len=min(rt["cfg"].max_instr_len, 64))
+    for k, v in zd["instr_zdict"].items():
+        if len(v):
+            rt["banks"][k] = v
+    from .tools.zdict import save_instr_zdict_tsv
+
+    out = os.path.join(args.output_dir, "backdoor_update_features.tsv")
+    save_instr_zdict_tsv(out, lm_f, dr_f, lm_pz, dr_pz)
+    write_to_record_file(f"  z-dict refreshed: {len(lm_f)} landmarks, "
+                         f"{len(dr_f)} directions -> {out}", record_file)
 
 
 def _save_torch(params, path: str, epoch: int):

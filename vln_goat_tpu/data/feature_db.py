@@ -68,6 +68,73 @@ class TsvFeaturesDB:
         return self._store[f"{scan}_{viewpoint}"]
 
 
+class ObjectFeaturesDB:
+    """REVERIE object store (reverie ObjectFeatureDB, reverie/env.py:46+,
+    452-457): HDF5 keyed '{scan}_{vp}' -> [n_obj, Dobj] features with attrs
+    'directions' [n_obj, 2], 'sizes' [n_obj, 2], 'obj_ids', 'names'."""
+
+    def __init__(self, obj_ft_file: str, obj_feat_size: int = 768,
+                 angle_feat_size: int = 4, max_objects: int = 20,
+                 image_w: int = 640, image_h: int = 480):
+        self.path = obj_ft_file
+        self.dim = obj_feat_size
+        self.afs = angle_feat_size
+        self.max_objects = max_objects
+        self.image_w, self.image_h = image_w, image_h
+        self._h5 = None
+
+    def _file(self):
+        if self._h5 is None:
+            import h5py
+
+            self._h5 = h5py.File(self.path, "r")
+        return self._h5
+
+    def as_packed_arrays(self, scan_graphs, scan_order: Sequence[str]) -> dict:
+        """-> NavWorld.build `objects` dict of [Vtot, Lo, ...] arrays."""
+        from ..core.geometry import angle_feature_np
+
+        f = self._file()
+        Lo = self.max_objects
+        vtot = sum(scan_graphs[s].num_vps for s in scan_order)
+        out = dict(
+            feat=np.zeros((vtot, Lo, self.dim), np.float32),
+            loc=np.zeros((vtot, Lo, self.afs + 3), np.float32),
+            mask=np.zeros((vtot, Lo), bool),
+            name=np.zeros((vtot, Lo), np.int32),
+            oid=np.full((vtot, Lo), -1, np.int32),
+        )
+        row = 0
+        area = self.image_w * self.image_h
+        for s in scan_order:
+            g = scan_graphs[s]
+            for vp in g.vp_ids:
+                key = f"{s}_{vp}"
+                if key in f:
+                    ds = f[key]
+                    n = min(ds.shape[0], Lo)
+                    out["feat"][row, :n] = ds[...][:n, :self.dim]
+                    att = dict(ds.attrs)
+                    dirs = np.asarray(att.get("directions",
+                                              np.zeros((n, 2))))[:n]
+                    sizes = np.asarray(att.get("sizes",
+                                               np.zeros((n, 2))))[:n]
+                    out["loc"][row, :n, :self.afs] = angle_feature_np(
+                        dirs[:, 0], dirs[:, 1], self.afs)
+                    # box fts [h/H, w/W, hw/HW] (dataset.py:485-487)
+                    out["loc"][row, :n, self.afs + 0] = sizes[:, 1] / self.image_h
+                    out["loc"][row, :n, self.afs + 1] = sizes[:, 0] / self.image_w
+                    out["loc"][row, :n, self.afs + 2] = \
+                        sizes[:, 0] * sizes[:, 1] / area
+                    out["mask"][row, :n] = True
+                    names = np.asarray(att.get("names", np.zeros(n)))[:n]
+                    out["name"][row, :n] = names.astype(np.int32)
+                    oids = np.asarray(att.get("obj_ids", np.arange(n)))[:n]
+                    out["oid"][row, :n] = oids.astype(np.int32)
+                row += 1
+        return out
+
+
 class AlternatingFeaturesDB:
     """EnvEdit-style 50/50 augmented feature alternation
     (r2r/env.py:78-84; pretrain dataset.py:226-233)."""

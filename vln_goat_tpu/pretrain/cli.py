@@ -138,12 +138,13 @@ def train(args):
     model, builder, items = rt["model"], rt["builder"], rt["items"]
     B = args.train_batch_size
 
-    def sample_batch(split, task):
-        idx = np.random.default_rng((args.seed, split == "train",
-                                     task.__hash__() & 0xffff)).integers
+    def sample_batch(split, task, step=0):
+        # deterministic selection keyed on (seed, split, task, step): same
+        # batches on rerun and on every host (MetaLoader broadcast analogue)
+        rng = np.random.default_rng(
+            (args.seed, hash(split) & 0xffff, hash(task) & 0xffff, step))
         pool = items[split]
-        chunk = [pool[i % len(pool)] for i in
-                 np.random.randint(0, len(pool), B)]
+        chunk = [pool[i] for i in rng.integers(0, len(pool), B)]
         return jax.tree.map(jnp.asarray, builder.build_batch(chunk, task))
 
     init_batches = {t: sample_batch("train", t) for t in args.tasks}
@@ -165,7 +166,7 @@ def train(args):
     t0 = time.time()
     for step in range(args.num_train_steps):
         task = sampler.task_at(step)
-        batch = sample_batch("train", task)
+        batch = sample_batch("train", task, step)
         state, m = steps[task](state, batch, jax.random.PRNGKey(step))
         meters[task](float(m["loss"]))
         if (step + 1) % args.log_steps == 0:
@@ -181,7 +182,7 @@ def train(args):
             for split in ("val_seen", "val_unseen"):
                 scores = {}
                 for t in args.tasks:
-                    vb = sample_batch(split, t)
+                    vb = sample_batch(split, t, step + 1)
                     em = evals[t](state.params, vb)
                     scores.update({f"{t}_{k}": float(v)
                                    for k, v in em.items()})

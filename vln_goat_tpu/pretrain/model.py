@@ -350,10 +350,16 @@ class GoatPretrainModel(nn.Module):
         logits = self.og_head(vp_embeds).squeeze(-1)
         logits = jnp.where(batch["vp_obj_masks"], logits, NEG_INF)
         labels = batch["obj_labels"]
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, labels[:, None], 1)[:, 0]
-        loss = jnp.mean(nll)
-        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        has_obj = jnp.any(batch["vp_obj_masks"], axis=1)
+        # all--inf rows make log_softmax (and its grad) NaN; sanitize first
+        safe = jnp.where(has_obj[:, None], logits, 0.0)
+        logp = jax.nn.log_softmax(safe.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, jnp.maximum(labels, 0)[:, None],
+                                   1)[:, 0]
+        ok = has_obj & (labels >= 0)
+        n = jnp.maximum(jnp.sum(ok), 1)
+        loss = jnp.sum(jnp.where(ok, nll, 0.0)) / n
+        acc = jnp.sum((jnp.argmax(logits, -1) == labels) & ok) / n
         return loss, {"og_acc": acc}
 
     # ------------------------------------------------------------------

@@ -283,8 +283,11 @@ class NavRollout:
                     cur_vp=cur_vp)
 
     # ------------------------------------------------------------------
-    def _nav_inputs(self, st, batch, pano, pano_embeds):
-        """Assemble global-map + local-branch tensors (agent.py:151-304)."""
+    def _nav_inputs(self, st, batch, pano, pano_embeds, cnode=None,
+                    has=None):
+        """Assemble global-map + local-branch tensors (agent.py:151-304).
+        cnode/has: candidate->node-table matches, precomputed by the step
+        to avoid recomputing the [B,K,N] broadcast equality."""
         w, r = self.world, self.rcfg
         c = self.mcfg
         B = st["cur"].shape[0]
@@ -345,10 +348,11 @@ class NavRollout:
 
         # candidate gmap slots: node index of each candidate (all candidates
         # are in the node table after _arrive)
-        known = jnp.where(real, node_vp, -2)
-        cmatch = known[:, None, :] == cands["local"][:, :, None]     # [B,K,N]
-        has = cmatch.any(-1) & cands["mask"]
-        cnode = jnp.argmax(cmatch, -1).astype(jnp.int32)
+        if cnode is None:
+            known = jnp.where(real, node_vp, -2)
+            cmatch = known[:, None, :] == cands["local"][:, :, None]  # [B,K,N]
+            has = cmatch.any(-1) & cands["mask"]
+            cnode = jnp.argmax(cmatch, -1).astype(jnp.int32)
         local_to_gmap = jnp.full((B, L), -1, jnp.int32)
         local_to_gmap = local_to_gmap.at[:, 2:2 + K].set(
             jnp.where(has, cnode + 2, -1))
@@ -468,7 +472,7 @@ class NavRollout:
         return a
 
     # ------------------------------------------------------------------
-    def _expand_path(self, st, tgt_node, length, max_len):
+    def _expand_path(self, st, tgt_node, max_len):
         """Follow episodic next-hop pointers cur -> tgt (FloydGraph.path)."""
         B = st["cur"].shape[0]
         bidx = jnp.arange(B)
@@ -506,8 +510,18 @@ class NavRollout:
             bidx = jnp.arange(B)
             rng_txt, rng_loop = jax.random.split(rng)
 
+            # BACL/FACL banks ride the batch when configured (broadcast by
+            # tools.zdict.broadcast_zdict; agent.py:51-64, 496-512)
+            tkw = {}
+            for src, dst in (("instr_z_direction_features", "z_direc_embeds"),
+                             ("instr_z_direction_pzs", "z_direc_pzs"),
+                             ("instr_z_landmark_features", "z_landm_embeds"),
+                             ("instr_z_landmark_pzs", "z_landm_pzs"),
+                             ("front_txt_feats", "front_txt_embeds")):
+                if src in batch:
+                    tkw[dst] = batch[src]
             txt_embeds = apply(params, rng_txt, GoatModel.forward_text,
-                               batch["txt_ids"], batch["txt_masks"])
+                               batch["txt_ids"], batch["txt_masks"], **tkw)
             txt_masks = batch["txt_masks"]
 
             st = self.init_state(batch)
@@ -527,6 +541,9 @@ class NavRollout:
                     obj_kw = dict(obj_fts=pano["objs"]["feat"],
                                   obj_masks=pano["objs"]["mask"],
                                   obj_names=pano["objs"]["name"])
+                if "img_z_features" in batch:
+                    obj_kw["z_img_features"] = batch["img_z_features"]
+                    obj_kw["z_img_pzs"] = batch["img_z_pzs"]
                 pano_img = pano["img"]
                 if "feat_noise" in batch:
                     # back-translation: shared per-episode dropout noise
@@ -554,12 +571,15 @@ class NavRollout:
                 ec = st["embed_cnt"].at[bidx, st["cur"]].set(
                     jnp.where(act, 1.0, st["embed_cnt"][bidx, st["cur"]]))
                 st = {**st, "embed_sum": es, "embed_cnt": ec}
-                # candidates: accumulate unless already visited
+                # candidates: accumulate unless already visited.  The match
+                # is computed ONCE here (over N real slots) and reused by
+                # _nav_inputs for local_to_gmap and position features.
                 known = jnp.where(
-                    jnp.arange(N + 1)[None, :] < st["n_nodes"][:, None],
-                    st["node_vp"], -2)
+                    jnp.arange(N)[None, :] < st["n_nodes"][:, None],
+                    st["node_vp"][:, :N], -2)
                 cmatch = known[:, None, :] == cands["local"][:, :, None]
                 cnode = jnp.argmax(cmatch, -1).astype(jnp.int32)
+                chas = cmatch.any(-1) & cands["mask"]
                 cand_vis = st["visited"][bidx[:, None], cnode]
                 add = cands["mask"] & ~cand_vis & act[:, None] & cmatch.any(-1)
                 tgt = jnp.where(add, cnode, r.num_nodes)
@@ -569,7 +589,12 @@ class NavRollout:
                       "embed_cnt": st["embed_cnt"].at[bidx[:, None], tgt].add(
                           add.astype(jnp.float32))}
 
-                nav_in, aux = self._nav_inputs(st, batch, pano, pano_embeds)
+                nav_in, aux = self._nav_inputs(st, batch, pano, pano_embeds,
+                                               cnode=cnode, has=chas)
+                if "front_vp_feats" in batch:
+                    nav_in["front_vp_feats"] = batch["front_vp_feats"]
+                if "front_gmap_feats" in batch:
+                    nav_in["front_gmap_feats"] = batch["front_gmap_feats"]
                 outs = apply(params, rn, GoatModel.forward_navigation,
                              txt_embeds, txt_masks, **nav_in)
                 logits = outs["fused_logits"]
@@ -595,8 +620,14 @@ class NavRollout:
                         gt_slot = batch["gt_obj_slot"]
                         at_goal = pano["cur_vp"] == batch["gt_path"][
                             bidx, batch["gt_len"] - 1]
-                        ok = act & at_goal & (gt_slot >= 0)
-                        ologp = jax.nn.log_softmax(outs["obj_logits"], axis=1)
+                        has_obj = jnp.any(jnp.isfinite(outs["obj_logits"]),
+                                          axis=1)
+                        ok = act & at_goal & (gt_slot >= 0) & has_obj
+                        # sanitize all--inf rows BEFORE log_softmax: its VJP
+                        # is NaN there and jnp.where does not block NaN grads
+                        safe = jnp.where(has_obj[:, None],
+                                         outs["obj_logits"], 0.0)
+                        ologp = jax.nn.log_softmax(safe, axis=1)
                         oli = jnp.take_along_axis(
                             ologp, jnp.maximum(gt_slot, 0)[:, None], 1)[:, 0]
                         og_loss = -jnp.sum(jnp.where(ok, oli, 0.0))
@@ -637,11 +668,14 @@ class NavRollout:
                 else:
                     raise ValueError(feedback)
 
-                # stop determination (agent.py:649-662)
+                # stop determination (agent.py:649-662): in teacher/sample
+                # mode the episode ends at the goal OR when the chosen
+                # action is the stop token (nav_vpids[0] is None ->
+                # cpu_a_t=None, agent.py:657-662); argmax/expl use a==0 only
                 cur_vp = pano["cur_vp"]
                 goal = batch["gt_path"][bidx, batch["gt_len"] - 1]
                 if feedback in ("teacher", "sample"):
-                    a_stop = cur_vp == goal
+                    a_stop = (cur_vp == goal) | (a == 0)
                 else:
                     a_stop = a == 0
                 just_ended = act & (a_stop | aux["no_vp_left"]
@@ -650,7 +684,7 @@ class NavRollout:
                 tgt_node = jnp.clip(a - 2, 0, r.num_nodes - 1)
 
                 # record trajectory segment (episodic path cur -> action)
-                seg, prev = self._expand_path(st, tgt_node, None, r.seg_len)
+                seg, prev = self._expand_path(st, tgt_node, r.seg_len)
                 seg = jnp.where(moves[:, None], seg, -1)
                 seg_hops = jnp.where(
                     moves, st["ehops"][bidx, st["cur"], tgt_node], 0.0)
@@ -732,7 +766,7 @@ class NavRollout:
             # final stop-node backtrack (agent.py:666-681)
             best_stop = jnp.argmax(st["stop_prob"][:, :r.num_nodes],
                                    axis=1).astype(jnp.int32)
-            back, _ = self._expand_path(st, best_stop, None, r.back_len)
+            back, _ = self._expand_path(st, best_stop, r.back_len)
             do_back = best_stop != st["cur"]
             back = jnp.where(do_back[:, None], back, -1)
 

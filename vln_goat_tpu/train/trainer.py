@@ -70,11 +70,16 @@ def make_optimizer(lr: float = 2e-5, weight_decay: float = 0.0,
 
 
 def make_train_step(rollout: NavRollout, tx,
-                    train_alg: str = "dagger", ml_weight: float = 0.2):
+                    train_alg: str = "dagger", ml_weight: float = 0.2,
+                    sample_feedback: str = "sample",
+                    expl_max_ratio: float = 0.6):
+    """sample_feedback='expl_sample' replicates --expl_sample runs
+    (agent.py:436)."""
     teacher_fn = rollout.build_rollout("teacher", train_ml=True,
                                       deterministic=False)
-    sample_fn = rollout.build_rollout("sample", train_ml=True,
-                                     deterministic=False)
+    sample_fn = rollout.build_rollout(sample_feedback, train_ml=True,
+                                     deterministic=False,
+                                     expl_max_ratio=expl_max_ratio)
 
     def loss_fn(params, batch, rng):
         r1, r2 = jax.random.split(rng)
