@@ -48,6 +48,8 @@ def parse_args(argv=None):
     p.add_argument("--img_ft_file", default=None)
     p.add_argument("--aug_ft_file", default=None)
     p.add_argument("--obj_ft_file", default=None)
+    p.add_argument("--bbox_file", default=None,
+                   help="REVERIE BBoxes json for obj2vps goal mapping")
     p.add_argument("--img_zdict_file", default=None)
     p.add_argument("--instr_zdict_file", default=None)
     p.add_argument("--front_feat_file", default=None)
@@ -253,6 +255,14 @@ def build_runtime(args):
     rt = dict(cfg=cfg, model=model, params=params, world=world,
               rollout=rollout, batchers=batchers, graphs=graphs,
               scan_order=scan_order, objects=objects, args=args)
+    if args.bbox_file:
+        from .data.annotations import load_obj2vps
+
+        raw = load_obj2vps(args.bbox_file)
+        rt["obj2vps"] = {
+            (scan, oid): [graphs[scan].index[vp] for vp in vps
+                          if vp in graphs[scan].index]
+            for (scan, oid), vps in raw.items() if scan in graphs}
     _load_causal_banks(args, rt)
     return rt
 

@@ -74,3 +74,20 @@ def construct_instrs(anno_dir: str, dataset: str, splits: Sequence[str],
     if "train" in out and "val_train_seen" in splits:
         out["val_train_seen"] = out["train"][:50]
     return out
+
+
+def load_obj2vps(bbox_file: str) -> Dict[tuple, List[str]]:
+    """REVERIE object -> goal-viewpoints mapping from the BBoxes JSON
+    (reverie/data_utils.py:226-237): (scan, objid) -> [viewpoints where the
+    object is visible]."""
+    import json as _json
+
+    obj2vps: Dict[tuple, List[str]] = {}
+    with open(bbox_file) as f:
+        data = _json.load(f)
+    for scanvp, objs in data.items():
+        scan, vp = scanvp.split("_")
+        for objid, info in objs.items():
+            if info.get("visible_pos"):
+                obj2vps.setdefault((scan, str(objid)), []).append(vp)
+    return obj2vps
