@@ -79,6 +79,10 @@ class TrajBatchBuilder:
         self.mrc_prob = mrc_prob
         self.objnav = objnav
         self.rng = np.random.default_rng(seed)
+        # precomputed noncand view angle features relative to view 12
+        rel12_h = G.VIEW_HEADINGS - G.VIEW_HEADINGS[12]
+        rel12_e = G.VIEW_ELEVATIONS - G.VIEW_ELEVATIONS[12]
+        self._rel12_ang = G.angle_feature_np(rel12_h, rel12_e, angle_feat_size)
 
     # ------------------------------------------------------------------
     def _feat(self, scan: str, vp: int) -> np.ndarray:
@@ -104,16 +108,20 @@ class TrajBatchBuilder:
 
     def _pos7(self, g: ScanGraph, cur: int, tgts: List[Optional[int]],
               heading: float, elevation: float) -> np.ndarray:
+        """Vectorized 7-dim position features; None entries (the [stop]
+        token) get angle_fts(0,0) + zero dists."""
         out = np.zeros((len(tgts), self.afs + 3), np.float32)
-        for i, t in enumerate(tgts):
-            if t is None:
-                out[i, :self.afs] = G.angle_feature_np(0.0, 0.0, self.afs)
-                continue
-            h, e, d = G.rel_heading_elevation_np(g.pos[cur], g.pos[t],
-                                                 heading, elevation)
-            out[i, :self.afs] = G.angle_feature_np(h, e, self.afs)
-            out[i, self.afs:] = [d / G.MAX_DIST, g.dist[cur, t] / G.MAX_DIST,
-                                 g.hops[cur, t] / G.MAX_STEP]
+        none_mask = np.asarray([t is None for t in tgts])
+        out[none_mask, :self.afs] = G.angle_feature_np(0.0, 0.0, self.afs)
+        idx = np.asarray([t for t in tgts if t is not None], np.int64)
+        if len(idx):
+            h, e, d = G.rel_heading_elevation_np(
+                g.pos[cur][None], g.pos[idx], heading, elevation)
+            rows = ~none_mask
+            out[rows, :self.afs] = G.angle_feature_np(h, e, self.afs)
+            out[rows, self.afs + 0] = d / G.MAX_DIST
+            out[rows, self.afs + 1] = g.dist[cur, idx] / G.MAX_DIST
+            out[rows, self.afs + 2] = g.hops[cur, idx] / G.MAX_STEP
         return out
 
     # ------------------------------------------------------------------
@@ -160,37 +168,29 @@ class TrajBatchBuilder:
         view_masks = np.zeros((sh.max_steps, Lp), bool)
         step_masks = np.zeros((sh.max_steps,), bool)
 
-        rel12_h = G.VIEW_HEADINGS - G.VIEW_HEADINGS[12]
-        rel12_e = G.VIEW_ELEVATIONS - G.VIEW_ELEVATIONS[12]
-
         cand_lists = []
         for t, vp in enumerate(traj):
             feats = self._feat(scan, vp)
-            cm = g.cand_mask[vp]
-            n_cand = int(cm.sum())
-            used = set()
+            n_cand = int(g.cand_mask[vp].sum())
             step_masks[t] = True
-            for k in range(n_cand):
-                pt = int(g.cand_ptid[vp, k])
-                used.add(pt)
-                view_img[t, k] = feats[pt]
-                ch = g.cand_heading[vp, k]
-                ce = g.cand_elev[vp, k]
-                if self.correct_heading:
-                    ch, ce = ch - heading, ce - elevation
-                loc_fts[t, k, :self.afs] = G.angle_feature_np(ch, ce, self.afs)
-                loc_fts[t, k, self.afs:] = 1.0
-                nav_types[t, k] = 1
-                view_masks[t, k] = True
-            for ix in range(36):
-                slot = K + ix
-                if ix in used:
-                    continue
-                view_img[t, slot] = feats[ix]
-                loc_fts[t, slot, :self.afs] = G.angle_feature_np(
-                    rel12_h[ix], rel12_e[ix], self.afs)
-                loc_fts[t, slot, self.afs:] = 1.0
-                view_masks[t, slot] = True
+            pts = g.cand_ptid[vp, :n_cand].astype(np.int64)
+            view_img[t, :n_cand] = feats[pts]
+            ch = g.cand_heading[vp, :n_cand]
+            ce = g.cand_elev[vp, :n_cand]
+            if self.correct_heading:
+                ch, ce = ch - heading, ce - elevation
+            loc_fts[t, :n_cand, :self.afs] = G.angle_feature_np(ch, ce,
+                                                                self.afs)
+            loc_fts[t, :n_cand, self.afs:] = 1.0
+            nav_types[t, :n_cand] = 1
+            view_masks[t, :n_cand] = True
+            unused = np.ones(36, bool)
+            unused[pts] = False
+            slots = K + np.nonzero(unused)[0]
+            view_img[t, slots] = feats[unused]
+            loc_fts[t, slots, :self.afs] = self._rel12_ang[unused]
+            loc_fts[t, slots, self.afs:] = 1.0
+            view_masks[t, slots] = True
             cand_lists.append([int(x) for x in g.cand_local[vp][:n_cand]])
 
         # ---- gmap (get_gmap_inputs, dataset.py:511-537) ----
@@ -223,10 +223,10 @@ class TrajBatchBuilder:
         gmap_pos = np.zeros((Gm, self.afs + 3), np.float32)
         gmap_pos[:ng] = self._pos7(g, traj[-1], gmap_vps, heading, elevation)
         pair = np.zeros((Gm, Gm), np.float32)
-        for i, a in enumerate(gmap_vps):
-            for j, b in enumerate(gmap_vps):
-                if a is not None and b is not None and i != j:
-                    pair[i, j] = g.dist[a, b]
+        real_vps = np.asarray([v for v in gmap_vps if v is not None],
+                              np.int64)
+        if len(real_vps):
+            pair[1:ng, 1:ng] = g.dist[np.ix_(real_vps, real_vps)]
 
         cand_to_gmap = np.full((sh.max_steps, K), -1, np.int32)
         for t in range(T):
