@@ -294,22 +294,18 @@ class TrajBatchBuilder:
         sh = self.sh
         ids = ex["txt_ids"].copy()
         n = int(ex["txt_masks"].sum())
-        pos_list, tgt_list = [], []
         # skip [CLS]=slot0 and final [SEP] like the reference (tokens 1..n-2)
-        for i in range(1, max(n - 1, 1)):
-            if self.rng.random() < self.mlm_prob and len(pos_list) < sh.max_mlm:
-                tgt_list.append(ids[i])
-                r = self.rng.random()
-                if r < 0.8:
-                    ids[i] = self.mask_token_id
-                elif r < 0.9:
-                    ids[i] = int(self.rng.integers(0, self.vocab_size))
-                pos_list.append(i)
-        if not pos_list:                       # force at least one mask
-            i = int(self.rng.integers(1, max(n - 1, 2)))
-            tgt_list.append(ids[i])
-            ids[i] = self.mask_token_id
-            pos_list.append(i)
+        body = np.arange(1, max(n - 1, 1))
+        sel = body[self.rng.random(len(body)) < self.mlm_prob][:sh.max_mlm]
+        if len(sel) == 0:                      # force at least one mask
+            sel = np.asarray([int(self.rng.integers(1, max(n - 1, 2)))])
+        tgt_list = ids[sel].tolist()
+        r = self.rng.random(len(sel))
+        ids[sel[r < 0.8]] = self.mask_token_id
+        rand_rows = sel[(r >= 0.8) & (r < 0.9)]
+        ids[rand_rows] = self.rng.integers(0, self.vocab_size,
+                                           len(rand_rows))
+        pos_list = sel.tolist()
         mlm_pos = np.full((sh.max_mlm,), -1, np.int32)
         mlm_tgt = np.zeros((sh.max_mlm,), np.int32)
         mlm_pos[:len(pos_list)] = pos_list
@@ -332,9 +328,8 @@ class TrajBatchBuilder:
         if not mask.any():
             first = int(np.argmax(vm))
             mask[first] = True
-        view_img = ex["traj_view_img_fts"].copy()
-        view_img[t][mask] = 0.0
-        ex["traj_view_img_fts"] = view_img
+        # build_one returns freshly allocated arrays; mutate in place
+        ex["traj_view_img_fts"][t][mask] = 0.0
 
         probs = self._probs(scan, end_vp)       # [36, P]
         g = self.graphs[scan]
