@@ -65,7 +65,8 @@ def parse_args(argv=None):
     p.add_argument("--obj_feat_size", type=int, default=0)
     p.add_argument("--angle_feat_size", type=int, default=4)
     p.add_argument("--dropout", type=float, default=0.1)
-    p.add_argument("--feat_dropout", type=float, default=0.4)
+    p.add_argument("--feat_dropout", type=float, default=None,
+                   help="None keeps the dataset preset (0.4 r2r, 0.6 reverie)")
     p.add_argument("--fusion", default="dynamic",
                    choices=["global", "local", "avg", "dynamic"])
     p.add_argument("--expert_policy", default="spl", choices=["spl", "ndtw"])
@@ -88,6 +89,10 @@ def parse_args(argv=None):
     p.add_argument("--expl_max_ratio", type=float, default=0.6)
     p.add_argument("--cat_file", default=None,
                    help="category_mapping.tsv for the landmark word picker")
+    # multi-host (jax.distributed; replaces --world_size/NCCL)
+    p.add_argument("--num_processes", type=int, default=1)
+    p.add_argument("--process_id", type=int, default=0)
+    p.add_argument("--coordinator", default="localhost:12391")
 
     # training
     p.add_argument("--iters", type=int, default=150000)
@@ -220,8 +225,20 @@ def build_runtime(args):
                                aug_features=aug_features,
                                feat_dim=cfg.image_feat_size)
 
+    # rank-sharded validation (sel_data_idxs, r2r/env.py:126-134)
+    from .parallel.distributed import process_count, shard_data_for_process
+
+    if process_count() > 1:
+        for name in list(splits):
+            if name != "train":
+                splits[name] = shard_data_for_process(splits[name])
+
     scan_order = list(graphs)
-    model = GoatModel(cfg)
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    cfg = cfg.replace(compute_dtype=args.compute_dtype)
+    model = GoatModel(cfg, dtype=dtype)
     params = init_goat_params(model, jax.random.PRNGKey(args.seed),
                               max_cands=args.max_cands,
                               num_nodes=args.num_nodes,
@@ -249,7 +266,10 @@ def build_runtime(args):
         name: EpisodeBatcher(
             data, graphs, scan_order, args.batch_size,
             max_instr_len=min(cfg.max_instr_len, 64 if args.synthetic else 512),
-            max_gt_len=cfg.max_action_len + 1, seed=args.seed + i)
+            max_gt_len=cfg.max_action_len + 1,
+            # EnvEdit alternation on the train env only (r2r/env.py:78-84)
+            env_edit=(name == "train" and world.has_aug),
+            seed=args.seed + i)
         for i, (name, data) in enumerate(splits.items())
     }
     rt = dict(cfg=cfg, model=model, params=params, world=world,
@@ -274,7 +294,11 @@ def _load_causal_banks(args, rt):
 
     banks = {}
     if args.instr_zdict_file and (args.do_back_txt or args.do_front_txt):
-        banks.update(load_instr_zdict_tsv(args.instr_zdict_file))
+        # TSV keys follow the reference file schema (instr_direction_*);
+        # the rollout consumes the agent-side names (instr_z_direction_*,
+        # agent.py:53-64) — rename here like _language_variable does
+        for k, v in load_instr_zdict_tsv(args.instr_zdict_file).items():
+            banks[k.replace("instr_", "instr_z_", 1)] = v
     if args.img_zdict_file and args.do_back_img:
         img = load_img_zdict_tsv(args.img_zdict_file)
         banks["img_z_features"] = img["img_features"]
@@ -410,8 +434,23 @@ def train(args, rt):
     step_fn = jax.jit(make_train_step(
         rt["rollout"], tx, train_alg=args.train_alg,
         ml_weight=args.ml_weight,
-        sample_feedback="expl_sample" if args.expl_sample else "sample"))
+        sample_feedback="expl_sample" if args.expl_sample else "sample",
+        expl_max_ratio=args.expl_max_ratio))
     state = init_train_state(rt["params"], tx)
+    # data-parallel over all devices when more than one exists (('dp',)
+    # mesh; XLA derives the gradient all-reduce from the batch sharding)
+    from .parallel.mesh import make_mesh, shard_batch
+
+    mesh = None
+    n_dev = len(jax.devices())
+    if n_dev > 1 and args.batch_size % n_dev == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = make_mesh()
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+    elif n_dev > 1:
+        print(f"[train] {n_dev} devices but batch_size {args.batch_size} "
+              f"not divisible; running on one device")
     batcher = rt["batchers"]["train"]
     meter = RunningMeter("loss")
     # model selection metric (main_nav.py:296-308)
@@ -429,12 +468,19 @@ def train(args, rt):
     t0 = time.time()
     for it in range(0, args.iters, args.log_every):
         interval = min(args.log_every, args.iters - it)
+        cycle_losses = []
         for j in range(interval):
             items, batch = batcher.next_batch()
             batch = causal_batch(rt, batch, items)
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
             state, metrics = step_fn(state, batch,
                                      jax.random.PRNGKey(it + j))
-            meter(float(metrics["loss"]))
+            # keep the loss on device: float() here would sync every
+            # iteration and serialize host packing into the step time
+            cycle_losses.append(metrics["loss"])
+        for v in jax.device_get(cycle_losses):
+            meter(float(v))
         step = it + interval
         mlog.set_step(step)
         mlog.log_scalar_dict({"loss": meter.val,
@@ -465,7 +511,10 @@ def train(args, rt):
             write_to_record_file(f"  new best @ {step}: {best['score']:.2f}",
                                  record_file)
         _refresh_front_dict(args, rt)  # per-cycle FACL resampling
-        if args.z_instr_update and step % args.update_iter == 0:
+        # fire on every update_iter boundary crossed within this cycle
+        # (steps only take multiples of log_every)
+        if args.z_instr_update and \
+                step // args.update_iter > (step - interval) // args.update_iter:
             _update_zdict(args, rt, state.params, record_file)
     return state
 
@@ -490,7 +539,7 @@ def _update_zdict(args, rt, params, record_file):
         max_len=min(rt["cfg"].max_instr_len, 64))
     for k, v in zd["instr_zdict"].items():
         if len(v):
-            rt["banks"][k] = v
+            rt["banks"][k.replace("instr_", "instr_z_", 1)] = v
     from .tools.zdict import save_instr_zdict_tsv
 
     out = os.path.join(args.output_dir, "backdoor_update_features.tsv")
@@ -519,9 +568,15 @@ def valid(args, rt):
             continue
         t0 = time.time()
         m, preds = run_validation(rt, split)
+        # gather sharded predictions across processes
+        # (merge_dist_results, utils/distributed.py:160)
+        from .parallel.distributed import (all_gather_objects,
+                                           merge_dist_results, process_index)
+
+        preds = merge_dist_results(all_gather_objects(preds))
         write_to_record_file(
             f"{split} ({time.time()-t0:.1f}s): {m}", record_file)
-        if args.submit:
+        if args.submit and process_index() == 0:
             out = os.path.join(args.output_dir, f"submit_{split}.json")
             with open(out, "w") as f:
                 json.dump(preds, f)
@@ -636,6 +691,13 @@ def main(argv=None):
     args = parse_args(argv)
     from .utils.misc import set_seed
 
+    if args.num_processes and args.num_processes > 1:
+        # multi-host rendezvous (replaces file:// NCCL init,
+        # utils/distributed.py:56-61); validation splits shard per process
+        from .parallel.distributed import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
     set_seed(args.seed)
     os.makedirs(args.output_dir, exist_ok=True)
     # snapshot the config like the reference run dirs (utils/save.py:12-20)

@@ -110,7 +110,7 @@ class NavRollout:
 
     # ------------------------------------------------------------------
     # episode initialisation
-    def init_state(self, batch) -> Dict[str, jnp.ndarray]:
+    def init_state(self, batch, need_dtw: bool = True) -> Dict[str, jnp.ndarray]:
         r = self.rcfg
         B = batch["scan_idx"].shape[0]
         N1 = r.num_nodes + 1
@@ -138,7 +138,7 @@ class NavRollout:
         if self.world.num_objs > 0 and self.mcfg.is_objnav:
             st["og_oid"] = jnp.full((B, N1), -1, jnp.int32)
         st["node_vp"] = st["node_vp"].at[:, 0].set(batch["start_vp"].astype(jnp.int32))
-        if r.expert_policy == "ndtw":
+        if r.expert_policy == "ndtw" and need_dtw:
             # incremental DTW bottom row for the flattened trajectory
             # (expert: cal_dtw over traj + candidate lookahead, agent.py:333)
             Tg1 = batch["gt_path"].shape[1] + 1
@@ -524,7 +524,8 @@ class NavRollout:
                                batch["txt_ids"], batch["txt_masks"], **tkw)
             txt_masks = batch["txt_masks"]
 
-            st = self.init_state(batch)
+            st = self.init_state(
+                batch, need_dtw=train_ml and feedback != "teacher")
 
             def step(st, xs):
                 t, rng_t = xs
@@ -632,9 +633,13 @@ class NavRollout:
                             ologp, jnp.maximum(gt_slot, 0)[:, None], 1)[:, 0]
                         og_loss = -jnp.sum(jnp.where(ok, oli, 0.0))
 
-                # supervision
-                target = self._teacher(st, batch, aux, t,
-                                       imitation=(feedback == "teacher"))
+                # supervision — skipped entirely in pure inference (the
+                # ndtw expert in particular costs a per-step DTW sweep)
+                if train_ml or feedback == "teacher":
+                    target = self._teacher(st, batch, aux, t,
+                                           imitation=(feedback == "teacher"))
+                else:
+                    target = jnp.full((B,), IGNORE_ID, jnp.int32)
                 if train_ml:
                     logp = jax.nn.log_softmax(logits, axis=1)
                     tgt_ok = target >= 0
@@ -690,7 +695,7 @@ class NavRollout:
                     moves, st["ehops"][bidx, st["cur"], tgt_node], 0.0)
 
                 # extend the incremental DTW row with the traversed segment
-                if r.expert_policy == "ndtw":
+                if "dtw_row" in st:
                     def dtw_body(k, row):
                         node = seg[:, k]
                         vp_k = st["node_vp"][bidx, jnp.clip(node, 0,
@@ -701,8 +706,14 @@ class NavRollout:
                     st = {**st, "dtw_row": jax.lax.fori_loop(
                         0, r.seg_len, dtw_body, st["dtw_row"])}
 
-                # camera update: view index of the arrival edge prev->action
+                # camera update: view index of the arrival edge
+                # prev->action.  prev = last-but-one node on the episodic
+                # path; derived from the REVERSE next-hop (first hop from
+                # target toward cur) so it stays correct even when the
+                # recorded segment is longer than seg_len
                 scan = batch["scan_idx"]
+                rev = st["enext"][bidx, tgt_node, st["cur"]]
+                prev = jnp.where(rev >= 0, rev, prev)
                 prev_vp = st["node_vp"][bidx, prev]
                 pc = w.get_cands(scan, prev_vp)
                 pk = jnp.argmax(
