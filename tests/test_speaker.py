@@ -33,9 +33,9 @@ def setup():
     toks = np.zeros((len(items), 9), np.int32)
     for i in range(len(items)):
         n = int(rng.integers(3, 6))
-        toks[i, 0] = 1  # BOS
+        toks[i, 0] = cfg.bos_id  # <BOS> = last vocab slot
         toks[i, 1:1 + n] = rng.integers(3, 30, n)
-        toks[i, 1 + n] = 2  # EOS
+        toks[i, 1 + n] = cfg.eos_id
     batch = {**jax.tree.map(jnp.asarray, fb), "tokens": jnp.asarray(toks)}
     return dict(cfg=cfg, batch=batch)
 

@@ -138,11 +138,16 @@ def train(args):
     model, builder, items = rt["model"], rt["builder"], rt["items"]
     B = args.train_batch_size
 
+    import zlib
+
     def sample_batch(split, task, step=0):
         # deterministic selection keyed on (seed, split, task, step): same
-        # batches on rerun and on every host (MetaLoader broadcast analogue)
+        # batches on rerun and on every host (MetaLoader broadcast
+        # analogue).  crc32, not hash() — python string hashing is salted
+        # per process.
         rng = np.random.default_rng(
-            (args.seed, hash(split) & 0xffff, hash(task) & 0xffff, step))
+            (args.seed, zlib.crc32(split.encode()),
+             zlib.crc32(task.encode()), step))
         pool = items[split]
         chunk = [pool[i] for i in rng.integers(0, len(pool), B)]
         return jax.tree.map(jnp.asarray, builder.build_batch(chunk, task))
@@ -160,6 +165,16 @@ def train(args):
     evals = make_eval_steps(model, args.tasks)
     sampler = MetaTaskSampler(args.tasks, args.mix_ratio, seed=args.seed)
     state = PretrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    # data-parallel over all devices when the batch divides them
+    mesh = None
+    n_dev = len(jax.devices())
+    if n_dev > 1 and B % n_dev == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import make_mesh, shard_batch
+
+        mesh = make_mesh()
+        state = jax.device_put(state, NamedSharding(mesh, P()))
     meters = {t: RunningMeter(t) for t in args.tasks}
     best_facc = -1.0
 
@@ -167,6 +182,10 @@ def train(args):
     for step in range(args.num_train_steps):
         task = sampler.task_at(step)
         batch = sample_batch("train", task, step)
+        if mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            batch = shard_batch(batch, mesh)
         state, m = steps[task](state, batch, jax.random.PRNGKey(step))
         meters[task](float(m["loss"]))
         if (step + 1) % args.log_steps == 0:
@@ -189,8 +208,13 @@ def train(args):
                 write_to_record_file(f"  {split}: {scores}", record)
                 mlog.log_scalar_dict(scores, prefix=split)
                 if split == "val_unseen":
-                    facc = scores.get("sap_sap_facc",
-                                      scores.get("sap_loss", 0.0))
+                    # model selection on unseen SAP fused accuracy
+                    # (train_r2r_goat.py:389-399); without a sap task fall
+                    # back to negative total loss (higher = better)
+                    facc = scores.get("sap_sap_facc")
+                    if facc is None:
+                        facc = -sum(v for k, v in scores.items()
+                                    if k.endswith("_loss"))
             save_orbax(os.path.abspath(os.path.join(
                 args.output_dir, "ckpt_latest")), state.params)
             if facc is not None and facc > best_facc:

@@ -57,7 +57,8 @@ class TrajBatchBuilder:
                  view_probs: Optional[np.ndarray] = None,
                  mask_token_id: Optional[int] = None, vocab_size: int = 50265,
                  mlm_prob: float = 0.15, mrc_prob: float = 0.15,
-                 objnav: bool = False, seed: int = 0):
+                 objnav: bool = False, zdicts: Optional[dict] = None,
+                 seed: int = 0):
         self.graphs = scan_graphs
         self.scan_order = list(scan_order)
         self.scan_index = {s: i for i, s in enumerate(scan_order)}
@@ -78,6 +79,10 @@ class TrajBatchBuilder:
         self.mlm_prob = mlm_prob
         self.mrc_prob = mrc_prob
         self.objnav = objnav
+        # optional BACL banks replicated into every batch (the pretrain
+        # reference broadcasts z-dicts in the task collates, tasks.py:110+):
+        # keys instr_z_{direction,landmark}_{features,pzs}, img_z_*
+        self.zdicts = dict(zdicts) if zdicts else {}
         self.rng = np.random.default_rng(seed)
         # precomputed noncand view angle features relative to view 12
         rel12_h = G.VIEW_HEADINGS - G.VIEW_HEADINGS[12]
@@ -154,7 +159,13 @@ class TrajBatchBuilder:
         end_vp = self.sample_end(item, end_vp_type, objnav=self.objnav)
         end_idx = gt_path.index(end_vp) if end_vp in gt_path else None
 
-        traj = [start] + g.shortest_path(start, end_vp)
+        # R2R/RxR trajectories are the GT-path prefix (dataset.py:657-662;
+        # RxR paths are deliberately non-shortest); only REVERIE rebuilds a
+        # shortest path to the sampled end (dataset.py:368-370)
+        if end_idx is not None and not self.objnav:
+            traj = gt_path[:end_idx + 1]
+        else:
+            traj = [start] + g.shortest_path(start, end_vp)
         if len(traj) > min(TRAIN_MAX_STEP, sh.max_steps - 1):
             traj = traj[:min(TRAIN_MAX_STEP, sh.max_steps - 1)] + [end_vp]
         T = len(traj)
@@ -263,6 +274,11 @@ class TrajBatchBuilder:
             if nxt is not None:
                 if nxt in gmap_slot:
                     gl = gmap_slot[nxt]
+                    # the reference expert only targets UNVISITED gmap nodes
+                    # (dataset.py:327-333); a visited target would sit at an
+                    # -inf-masked logit -> infinite CE
+                    if gmap_visited[gl]:
+                        gl = -100
                 if nxt in last_cands:
                     ll = last_cands.index(nxt) + 1
 
@@ -369,7 +385,14 @@ class TrajBatchBuilder:
                 ex = self.add_mrc(ex, it["scan"], int(ex["end_vp"]))
             exs.append(ex)
         keys = exs[0].keys()
-        return {k: np.stack([e[k] for e in exs], 0) for k in keys}
+        out = {k: np.stack([e[k] for e in exs], 0) for k in keys}
+        B = len(exs)
+        for k, v in self.zdicts.items():
+            v = np.asarray(v, np.float32)
+            if v.ndim == 1:
+                v = v[:, None]
+            out[k] = np.broadcast_to(v[None], (B,) + v.shape).copy()
+        return out
 
 
 def items_from_dataset(data: List[dict], scan_graphs: Dict[str, ScanGraph]

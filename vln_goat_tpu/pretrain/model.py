@@ -101,7 +101,6 @@ class GoatPretrainModel(nn.Module):
         if "og" in self.tasks:
             self.og_head = ClsPrediction(c, dtype=self.dtype, name="og_head")
         if "cfp" in self.tasks:
-            init = nn.initializers.uniform(scale=0.2)  # ref: U(-0.1, 0.1)
             self.tim_txt_head = BertPredictionHeadTransform(
                 c, self.dtype, name="tim_txt_head")
             self.tim_global_head = BertPredictionHeadTransform(
@@ -334,8 +333,12 @@ class GoatPretrainModel(nn.Module):
         lg, okg = ce(gl, g)
         lll, okl = ce(ll, l)
         lf, _ = ce(fused, g)
+        # reference scale: mean over BATCH (ignored rows contribute 0 but
+        # stay in the denominator — F.cross_entropy 'none' then .mean(),
+        # train_r2r_goat task loop)
+        B = g.shape[0]
+        loss = jnp.sum(lg + lf + lll) / B
         n = jnp.maximum(jnp.sum(okg), 1)
-        loss = jnp.sum(lg + lf) / n + jnp.sum(lll) / jnp.maximum(jnp.sum(okl), 1)
         facc = jnp.sum((jnp.argmax(fused, -1) == g) & okg) / n
         gacc = jnp.sum((jnp.argmax(gl, -1) == g) & okg) / n
         lacc = jnp.sum((jnp.argmax(ll, -1) == l) & okl) / \

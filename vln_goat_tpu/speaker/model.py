@@ -42,8 +42,15 @@ class SpeakerConfig:
     feat_dropout: float = 0.3       # featdropout
     max_decode: int = 120
     pad_id: int = 0
-    bos_id: int = 1                 # '<BOS>' in the legacy vocab
-    eos_id: int = 2                 # '<EOS>'
+    # legacy vocab convention: [<PAD>, <UNK>, <EOS>, ...words..., <BOS>]
+    # (<BOS> is appended LAST, utils/data.py:308) — bos_id defaults to the
+    # final vocab slot; eos is index 2
+    bos_id: Optional[int] = None
+    eos_id: int = 2
+
+    def __post_init__(self):
+        if self.bos_id is None:
+            self.bos_id = self.vocab_size - 1
 
 
 def _norm(x, eps=1e-5):

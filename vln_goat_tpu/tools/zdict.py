@@ -124,7 +124,9 @@ def update_instr_zdict(
     direction_dict = defaultdict(list)
     for i in range(0, len(instr_data), batch_size):
         chunk = list(instr_data[i:i + batch_size])
-        L = min(max(len(d["instr_encoding"]) for d in chunk), max_len)
+        # fixed padding width: per-chunk max lengths would retrigger XLA
+        # compilation of the jitted language tower for every new length
+        L = max_len
         ids = np.zeros((len(chunk), L), np.int32)
         mask = np.zeros((len(chunk), L), bool)
         for b, d in enumerate(chunk):
