@@ -125,14 +125,12 @@ void bleu_stats(int hyp_len, const int32_t* hyp, int n_refs,
                 const int32_t* ref_lens, const int32_t* refs_flat, int max_n,
                 int64_t* clipped, int64_t* totals, int32_t* closest_ref_len) {
   int best_diff = 1 << 30, best_len = 0;
-  int off = 0;
   for (int r = 0; r < n_refs; ++r) {
     int diff = std::abs(ref_lens[r] - hyp_len);
     if (diff < best_diff || (diff == best_diff && ref_lens[r] < best_len)) {
       best_diff = diff;
       best_len = ref_lens[r];
     }
-    off += ref_lens[r];
   }
   *closest_ref_len = best_len;
 

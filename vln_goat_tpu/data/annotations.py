@@ -21,11 +21,16 @@ def load_instr_datasets(anno_dir: str, dataset: str, splits: Sequence[str],
             data = [json.loads(line) for line in open(path)]
         else:
             name = {"r2r": "R2R", "reverie": "REVERIE"}[dataset]
-            enc = {"roberta": "roberta_enc", "xlm": "xlm_enc",
+            # reference filename scheme (data_utils.py:136-144)
+            enc = {"roberta": "roberta_enc", "xlm": "enc_xlmr",
                    "bert": "enc"}[tokenizer]
             path = os.path.join(anno_dir, f"{name}_{split}_{enc}.json")
             with open(path) as f:
                 data = json.load(f)
+            if split == "val_train_seen":
+                # 50 raw paths BEFORE instruction expansion
+                # (data_utils.py:149-151)
+                data = data[:50]
         out[split] = data
     return out
 
@@ -70,9 +75,8 @@ def construct_instrs(anno_dir: str, dataset: str, splits: Sequence[str],
             items = items[:50]
         out[split] = items
 
-    # val_train_seen: 50-sample subset of train (data_utils.py:149-151)
-    if "train" in out and "val_train_seen" in splits:
-        out["val_train_seen"] = out["train"][:50]
+    # val_train_seen comes from its own annotation file, 50 raw paths
+    # sliced pre-expansion in load_instr_datasets — no synthesis from train
     return out
 
 

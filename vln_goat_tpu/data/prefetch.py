@@ -42,8 +42,20 @@ class PrefetchIterator:
 
     def __next__(self):
         while True:
+            # drain queued batches BEFORE surfacing a producer exception —
+            # otherwise the last `depth` prefetched batches of an epoch are
+            # silently dropped when the factory raises StopIteration
+            try:
+                return self._q.get_nowait()
+            except queue.Empty:
+                pass
             if self._exc is not None:
-                raise self._exc
+                # one more drain: a put may have landed between the check
+                # above and the exception being set
+                try:
+                    return self._q.get_nowait()
+                except queue.Empty:
+                    raise self._exc
             try:
                 return self._q.get(timeout=0.5)
             except queue.Empty:

@@ -104,37 +104,29 @@ def reverie_eval_item(dist: np.ndarray, pred_path: Sequence[int],
     return s
 
 
-def reverie_eval_metrics(per_item: List[Dict[str, float]]) -> Dict[str, float]:
+_SHARED_ROWS = (("steps", "trajectory_steps", 1),
+                ("lengths", "trajectory_lengths", 1),
+                ("sr", "success", 100),
+                ("oracle_sr", "oracle_success", 100),
+                ("spl", "spl", 100))
+
+
+def _aggregate(per_item, extra_rows) -> Dict[str, float]:
     m = defaultdict(list)
     for s in per_item:
         for k, v in s.items():
             m[k].append(v)
-    return {
-        "steps": float(np.mean(m["trajectory_steps"])),
-        "lengths": float(np.mean(m["trajectory_lengths"])),
-        "sr": float(np.mean(m["success"]) * 100),
-        "oracle_sr": float(np.mean(m["oracle_success"]) * 100),
-        "spl": float(np.mean(m["spl"]) * 100),
-        "rgs": float(np.mean(m["rgs"]) * 100),
-        "rgspl": float(np.mean(m["rgspl"]) * 100),
-    }
+    return {name: float(np.mean(m[key]) * scale)
+            for name, key, scale in _SHARED_ROWS + extra_rows}
+
+
+def reverie_eval_metrics(per_item: List[Dict[str, float]]) -> Dict[str, float]:
+    """Aggregate (reverie/env.py:555-582)."""
+    return _aggregate(per_item, (("rgs", "rgs", 100), ("rgspl", "rgspl", 100)))
 
 
 def eval_metrics(per_item: List[Dict[str, float]]) -> Dict[str, float]:
     """Aggregate (r2r/env.py:492-520)."""
-    m = defaultdict(list)
-    for s in per_item:
-        for k, v in s.items():
-            m[k].append(v)
-    return {
-        "steps": float(np.mean(m["trajectory_steps"])),
-        "lengths": float(np.mean(m["trajectory_lengths"])),
-        "nav_error": float(np.mean(m["nav_error"])),
-        "oracle_error": float(np.mean(m["oracle_error"])),
-        "sr": float(np.mean(m["success"]) * 100),
-        "oracle_sr": float(np.mean(m["oracle_success"]) * 100),
-        "spl": float(np.mean(m["spl"]) * 100),
-        "nDTW": float(np.mean(m["nDTW"]) * 100),
-        "SDTW": float(np.mean(m["SDTW"]) * 100),
-        "CLS": float(np.mean(m["CLS"]) * 100),
-    }
+    return _aggregate(per_item, (
+        ("nav_error", "nav_error", 1), ("oracle_error", "oracle_error", 1),
+        ("nDTW", "nDTW", 100), ("SDTW", "SDTW", 100), ("CLS", "CLS", 100)))

@@ -24,12 +24,17 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO):
+    src = os.path.join(_CSRC, "goat_native.cpp")
+    stale = (not os.path.exists(_SO)
+             or (os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_SO)))
+    if stale:
         try:
             subprocess.run(["make", "-C", _CSRC], check=True,
                            capture_output=True)
         except Exception:
-            return None
+            if not os.path.exists(_SO):
+                return None
     try:
         _lib = ctypes.CDLL(_SO)
     except OSError:

@@ -20,12 +20,9 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-try:  # pltpu is importable on CPU too (kernels then run via interpret=True)
-    from jax.experimental.pallas import tpu as pltpu
-    _HAS_PLTPU = True
-except Exception:  # pragma: no cover
-    pltpu = None
-    _HAS_PLTPU = False
+def _default_interpret() -> bool:
+    """Interpret mode off TPU so the kernel runs anywhere (tests, CPU)."""
+    return jax.default_backend() != "tpu"
 
 
 def _mha_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
@@ -45,7 +42,7 @@ def _mha_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_mha(q, k, v, bias=None, interpret: bool = False):
+def _pallas_mha_impl(q, k, v, bias=None, interpret: bool = False):
     """q [B, Lq, H, dh], k/v [B, Lk, H, dh], bias broadcastable to
     [B, H, Lq, Lk] (additive) -> [B, Lq, H*dh].  fp32 softmax inside."""
     B, Lq, H, dh = q.shape
@@ -81,3 +78,9 @@ def pallas_mha(q, k, v, bias=None, interpret: bool = False):
     )(*args)
     return out.reshape(B, H, Lq, dh).transpose(0, 2, 1, 3).reshape(
         B, Lq, H * dh)
+
+
+def pallas_mha(q, k, v, bias=None, interpret=None):
+    if interpret is None:
+        interpret = _default_interpret()
+    return _pallas_mha_impl(q, k, v, bias, interpret=interpret)

@@ -52,7 +52,12 @@ class ScanGraph:
 
     @property
     def index(self) -> Dict[str, int]:
-        return {v: i for i, v in enumerate(self.vp_ids)}
+        # cached: this sits in the per-item eval loop
+        idx = getattr(self, "_index", None)
+        if idx is None:
+            idx = {v: i for i, v in enumerate(self.vp_ids)}
+            object.__setattr__(self, "_index", idx)
+        return idx
 
     def shortest_path(self, a: int, b: int) -> List[int]:
         """Local-index path a -> b (exclusive of a), like FloydGraph.path."""
@@ -177,7 +182,10 @@ def load_connectivity(connectivity_dir: str, scans: Sequence[str],
             remap[i] = len(vp_ids)
             vp_ids.append(item["image_id"])
             p = item["pose"]
-            pos.append([p[3], p[7], p[11] + item.get("height", 0.0)])
+            # camera z is pose[11] alone — the reference's edge weights and
+            # eval distances do NOT add the node height field
+            # (utils/data.py:79-83)
+            pos.append([p[3], p[7], p[11]])
         edges = set()
         for i, item in enumerate(data):
             if not included[i]:
