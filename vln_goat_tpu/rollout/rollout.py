@@ -134,6 +134,10 @@ class NavRollout:
             view_ix=batch["start_view"].astype(jnp.int32),
             ended=jnp.zeros((B,), bool),
             last_embeds=jnp.zeros((B, D), jnp.float32),
+            # candidates dropped because the fixed node table was full
+            # (reference GraphMap is unbounded; surfacing this makes the
+            # capacity degradation observable instead of silent)
+            overflow_n=jnp.zeros((B,), jnp.int32),
         )
         if self.world.num_objs > 0 and self.mcfg.is_objnav:
             st["og_oid"] = jnp.full((B, N1), -1, jnp.int32)
@@ -227,10 +231,11 @@ class NavRollout:
                           enext)
 
         visited = st["visited"].at[bidx, arr].set(st["visited"][bidx, arr] | act)
+        overflow_n = st["overflow_n"] + jnp.sum(isnew & overflow, axis=1)
         return {**st, "node_vp": node_vp, "n_nodes": jnp.where(act, n_nodes,
                                                                st["n_nodes"]),
                 "visited": visited, "edist": edist, "ehops": ehops,
-                "enext": enext}
+                "enext": enext, "overflow_n": overflow_n}
 
     # ------------------------------------------------------------------
     def _pano_inputs(self, st, batch):
@@ -788,6 +793,7 @@ class NavRollout:
                 node_vp=st["node_vp"], stop_node=best_stop,
                 back_seg=back, back_hops=st["ehops"][bidx, st["cur"], best_stop],
                 final_cur=st["cur"], n_nodes=st["n_nodes"],
+                overflow_n=st["overflow_n"],
             )
             if "og_oid" in st:
                 # predicted object id at the chosen stop node

@@ -9,8 +9,10 @@ function of the connectivity graph, so we precompute it once per scan into
 dense tables; the episode loop then runs as array lookups (no per-step C++
 or host calls at all).
 
-A C++ implementation of the table builder lives in csrc/graph_sim.cpp for
-large scan sets; this module is the reference implementation and fallback.
+The hot numeric kernels behind the table builder (all-pairs shortest paths,
+nearest-view assignment) have C++ implementations in csrc/goat_native.cpp
+(apsp, nearest_view), used via native/lib.py when the extension is built;
+this module is the reference implementation and fallback.
 
 Connectivity JSON format (per scan, `<scan>_connectivity.json`): a list of
 nodes with fields `image_id`, `pose` (4x4 row-major; translation at indices

@@ -45,7 +45,7 @@ class TrainState:
 jax.tree_util.register_pytree_node_class(TrainState)
 
 
-def make_optimizer(lr: float = 2e-5, weight_decay: float = 0.0,
+def make_optimizer(lr: float = 2e-5, weight_decay: float = 0.01,
                    grad_clip: float = 40.0,
                    warmup_steps: int = 0, total_steps: Optional[int] = None,
                    accumulate_steps: int = 1, finite_guard: bool = False):
@@ -89,6 +89,7 @@ def make_train_step(rollout: NavRollout, tx,
             out = teacher_fn(params, batch, r1)
             loss = out["ml_loss"]
             metrics["il_loss"] = out["ml_loss"]
+            metrics["node_overflow"] = jnp.sum(out["overflow_n"])
         elif train_alg == "dagger":
             if ml_weight != 0:
                 out_t = teacher_fn(params, batch, r1)
@@ -97,6 +98,9 @@ def make_train_step(rollout: NavRollout, tx,
             out_s = sample_fn(params, batch, r2)
             loss = loss + out_s["ml_loss"]
             metrics["sample_loss"] = out_s["ml_loss"]
+            # dropped-candidate counter: nonzero means the fixed node table
+            # (RolloutConfig.num_nodes) is too small for these episodes
+            metrics["node_overflow"] = jnp.sum(out_s["overflow_n"])
         else:
             raise ValueError(train_alg)
         return loss, metrics
