@@ -17,6 +17,14 @@ import jax
 # captured JAX_PLATFORMS=axon from the env; override via config instead.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the rollout/train-step graphs dominate suite
+# wall time; entries are keyed per-platform so the CPU tests and the TPU
+# bench can share the directory.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 import numpy as np
 import pytest
 

@@ -47,6 +47,21 @@ def parse_args(argv=None):
     p.add_argument("--anno_dir", default=None)
     p.add_argument("--img_ft_file", default=None)
     p.add_argument("--aug_ft_file", default=None)
+    # aug-trajectory training env + speaker back-translation
+    # (main_nav.py:82-97 build, :220-252 interleave, agent.py:459-474)
+    p.add_argument("--aug", default=None,
+                   help="aug trajectory annotation file; 'synthetic' builds "
+                        "a fixture aug split on the synthetic world")
+    p.add_argument("--aug_times", type=int, default=1,
+                   help="aug updates per GT update in the interleave")
+    p.add_argument("--accumulate_grad", action="store_true",
+                   help="one optimizer step per GT+aug group "
+                        "(--accumulateGrad, agent.py:407-445)")
+    p.add_argument("--use_transpeaker", action="store_true",
+                   help="re-caption aug paths with the speaker "
+                        "(back-translation, agent.py:459-474)")
+    p.add_argument("--speaker_ckpt_file", default=None,
+                   help="orbax dir with trained speaker params")
     p.add_argument("--obj_ft_file", default=None)
     p.add_argument("--bbox_file", default=None,
                    help="REVERIE BBoxes json for obj2vps goal mapping")
@@ -181,6 +196,13 @@ def build_runtime(args):
                 graphs, n, vocab_size=cfg.vocab_size,
                 max_instr_len=min(cfg.max_instr_len, 48),
                 path_len=(3, 6), seed=seed)
+        # val_train_seen = slice of train (r2r/data_utils.py:149-151)
+        splits["val_train_seen"] = splits["train"][:16]
+        if args.aug:
+            splits["aug"] = make_synthetic_dataset(
+                graphs, 64, vocab_size=cfg.vocab_size,
+                max_instr_len=min(cfg.max_instr_len, 48),
+                path_len=(3, 6), seed=11)
         if objects is not None:
             # attach a gt object id visible at the goal viewpoint
             offs, total = {}, 0
@@ -199,11 +221,26 @@ def build_runtime(args):
         from .data.feature_db import ImageFeaturesDB
         from .sim.graph_sim import load_connectivity
 
-        split_names = ["train", "val_seen", "val_unseen"]
+        # split roster per dataset (main_nav.py:113-120)
+        split_names = ["train", "val_train_seen", "val_seen", "val_unseen"]
+        if args.dataset == "rxr":
+            split_names.remove("val_train_seen")
+            if not args.submit:
+                split_names.remove("val_seen")
+        if args.submit and args.dataset != "rxr":
+            split_names.append("test")
         splits = construct_instrs(args.anno_dir, args.dataset, split_names,
                                   tokenizer=args.tokenizer,
                                   max_instr_len=cfg.max_instr_len,
                                   for_debug=args.for_debug)
+        if args.aug and args.aug != "synthetic":
+            # aug annotation file given as an explicit path
+            # (main_nav.py:82-97: R2RNavBatch over args.aug)
+            from .data.annotations import load_annotation_file
+
+            splits["aug"] = load_annotation_file(
+                args.aug, args.dataset, tokenizer=args.tokenizer,
+                max_instr_len=cfg.max_instr_len, for_debug=args.for_debug)
         scan_ids = sorted({it["scan"] for s in splits.values() for it in s})
         graphs = load_connectivity(args.connectivity_dir, scan_ids,
                                    max_cands=args.max_cands)
@@ -230,7 +267,7 @@ def build_runtime(args):
 
     if process_count() > 1:
         for name in list(splits):
-            if name != "train":
+            if name not in ("train", "aug"):
                 splits[name] = shard_data_for_process(splits[name])
 
     scan_order = list(graphs)
@@ -244,11 +281,18 @@ def build_runtime(args):
                               num_nodes=args.num_nodes,
                               max_obj=max(world.num_objs, 1))
     if args.bert_ckpt_file or args.resume_file:
-        from .train.checkpoint import (load_reference_checkpoint, merge_loaded,
+        from .train.checkpoint import (is_train_state_dir,
+                                       load_reference_checkpoint,
+                                       load_train_state_params, merge_loaded,
                                        torch_to_flax, load_orbax)
 
         path = args.resume_file or args.bert_ckpt_file
-        if os.path.isdir(path):
+        if is_train_state_dir(path):
+            if args.mode == "train":
+                pass  # full restore (params+opt_state+step) happens in train()
+            else:
+                params = load_train_state_params(os.path.abspath(path))
+        elif os.path.isdir(path):
             params = load_orbax(path, params)
         else:
             loaded = torch_to_flax(load_reference_checkpoint(path))
@@ -267,8 +311,8 @@ def build_runtime(args):
             data, graphs, scan_order, args.batch_size,
             max_instr_len=min(cfg.max_instr_len, 64 if args.synthetic else 512),
             max_gt_len=cfg.max_action_len + 1,
-            # EnvEdit alternation on the train env only (r2r/env.py:78-84)
-            env_edit=(name == "train" and world.has_aug),
+            # EnvEdit alternation on the training envs only (r2r/env.py:78-84)
+            env_edit=(name in ("train", "aug") and world.has_aug),
             seed=args.seed + i)
         for i, (name, data) in enumerate(splits.items())
     }
@@ -417,6 +461,33 @@ def run_validation(rt, split: str, max_batches: Optional[int] = None):
     return agg, preds
 
 
+def _load_speaker(args, rt):
+    """Trained speaker for back-translation (main_nav.py:194-198 loads it
+    when --use_transpeaker).  -> (Speaker, params, cfg, features, offsets)."""
+    import jax
+
+    from .speaker.model import SpeakerConfig
+    from .speaker.speaker import Speaker
+    from .train.checkpoint import load_orbax
+
+    cfg = rt["cfg"]
+    scfg = SpeakerConfig(
+        vocab_size=cfg.vocab_size,
+        feature_size=cfg.image_feat_size + args.speaker_angle_size,
+        image_feat_size=cfg.image_feat_size,
+        max_decode=min(120, cfg.max_instr_len))
+    sp = Speaker(scfg, rng=jax.random.PRNGKey(args.seed + 7))
+    params = sp.params
+    if args.speaker_ckpt_file:
+        params = load_orbax(os.path.abspath(args.speaker_ckpt_file), params)
+    features = np.asarray(rt["world"].feat, np.float32)
+    offsets, total = {}, 0
+    for s in rt["scan_order"]:
+        offsets[s] = total
+        total += rt["graphs"][s].num_vps
+    return sp, params, scfg, features, offsets
+
+
 def train(args, rt):
     import jax
     import jax.numpy as jnp
@@ -430,13 +501,36 @@ def train(args, rt):
     record_file = os.path.join(args.output_dir, "train.log")
     mlog = MetricsLogger(os.path.join(args.output_dir, "metrics.jsonl"))
 
-    tx = make_optimizer(lr=args.lr, grad_clip=args.grad_clip)
+    aug_batcher = rt["batchers"].get("aug")
+    # --accumulate_grad: one optimizer step per GT+aug group
+    # (agent.py:407-445 zero_grad/accumulate/optim_step)
+    accum = (args.aug_times + 1) if (args.accumulate_grad
+                                     and aug_batcher is not None) else 1
+    tx = make_optimizer(lr=args.lr, grad_clip=args.grad_clip,
+                        accumulate_steps=accum)
     step_fn = jax.jit(make_train_step(
         rt["rollout"], tx, train_alg=args.train_alg,
         ml_weight=args.ml_weight,
         sample_feedback="expl_sample" if args.expl_sample else "sample",
         expl_max_ratio=args.expl_max_ratio))
     state = init_train_state(rt["params"], tx)
+
+    # full-state resume: continue the iteration counter
+    # (agent_base.py:205-253 --resume_file semantics)
+    start_iter = 0
+    from .train.checkpoint import (is_train_state_dir, load_train_state,
+                                   save_train_state)
+
+    if args.resume_file and is_train_state_dir(args.resume_file):
+        state, start_iter = load_train_state(
+            os.path.abspath(args.resume_file), state)
+        write_to_record_file(
+            f"resumed train state from {args.resume_file} @ iter "
+            f"{start_iter}", record_file)
+
+    speaker = None
+    if args.use_transpeaker and aug_batcher is not None:
+        speaker = _load_speaker(args, rt)
     # data-parallel over all devices when more than one exists (('dp',)
     # mesh; XLA derives the gradient all-reduce from the batch sharding)
     from .parallel.mesh import make_mesh, shard_batch
@@ -459,32 +553,94 @@ def train(args, rt):
     best = {"score": -1.0, "iter": 0}
 
     if args.eval_first:
-        for split in ("val_seen", "val_unseen"):
+        for split in ("val_train_seen", "val_seen", "val_unseen"):
             if split in rt["batchers"]:
                 rt["params"] = state.params
                 m, _ = run_validation(rt, split, max_batches=4)
                 write_to_record_file(f"[eval_first] {split}: {m}", record_file)
 
+    def one_update(state, items, batch, key, feat_noise=None):
+        batch = causal_batch(rt, batch, items)
+        if feat_noise is not None:
+            batch["feat_noise"] = jnp.asarray(feat_noise)
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        return step_fn(state, batch, key)
+
+    def aug_update(state, key, bt_rng):
+        """One aug-env update, optionally with speaker-re-captioned
+        instructions + shared feature-dropout noise (agent.py:459-474)."""
+        items = aug_batcher.next_minibatch()
+        noise = None
+        if speaker is not None:
+            from .speaker.backtranslate import backtranslate, swap_instructions
+
+            sp, sp_params, scfg, features, offsets = speaker
+            bt_items = [{**d, "path_local":
+                         [rt["graphs"][d["scan"]].index[v]
+                          for v in d["path"]]} for d in items]
+            toks, noise = backtranslate(
+                sp, sp_params, rt["graphs"], features, offsets, bt_items,
+                max_steps=rt["cfg"].max_action_len, rng=bt_rng,
+                feat_drop=rt["cfg"].feat_dropout,
+                angle_feat_size=args.speaker_angle_size,
+                image_feat_size=rt["cfg"].image_feat_size)
+            items = swap_instructions(items, toks, eos_id=scfg.eos_id,
+                                      bos_id=scfg.bos_id)
+        batch = aug_batcher.make_batch(items)
+        return one_update(state, items, batch, key, feat_noise=noise)
+
+    per = args.aug_times + 1
+    # fast-forward the (seeded, deterministic) batch iterators so a resumed
+    # run sees the same data sequence as the uninterrupted one
+    if start_iter:
+        if aug_batcher is None:
+            for _ in range(start_iter):
+                batcher.next_minibatch()
+        else:
+            for _ in range(start_iter // per):
+                batcher.next_minibatch()
+                for _ in range(args.aug_times):
+                    aug_batcher.next_minibatch()
+
     t0 = time.time()
-    for it in range(0, args.iters, args.log_every):
+    it = start_iter
+    while it < args.iters:
         interval = min(args.log_every, args.iters - it)
         cycle_losses = []
-        for j in range(interval):
-            items, batch = batcher.next_batch()
-            batch = causal_batch(rt, batch, items)
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
-            state, metrics = step_fn(state, batch,
-                                     jax.random.PRNGKey(it + j))
-            # keep the loss on device: float() here would sync every
-            # iteration and serialize host packing into the step time
-            cycle_losses.append(metrics["loss"])
+        if aug_batcher is None:
+            consumed = interval
+            for j in range(interval):
+                items, batch = batcher.next_batch()
+                state, metrics = one_update(state, items, batch,
+                                            jax.random.PRNGKey(it + j))
+                # keep the loss on device: float() here would sync every
+                # iteration and serialize host packing into the step time
+                cycle_losses.append(metrics["loss"])
+        else:
+            # GT/aug interleave: 1 train update + aug_times aug updates per
+            # group (main_nav.py:220-252); each update counts as one iter
+            groups = max(interval // per, 1)
+            consumed = groups * per
+            for j in range(groups):
+                base = it + j * per
+                items, batch = batcher.next_batch()
+                state, metrics = one_update(state, items, batch,
+                                            jax.random.PRNGKey(base))
+                cycle_losses.append(metrics["loss"])
+                for k in range(args.aug_times):
+                    state, metrics = aug_update(
+                        state, jax.random.PRNGKey(base + 1 + k),
+                        jax.random.PRNGKey(7_000_003 + base + k))
+                    cycle_losses.append(metrics["loss"])
         for v in jax.device_get(cycle_losses):
             meter(float(v))
-        step = it + interval
+        step = it + consumed
         mlog.set_step(step)
         mlog.log_scalar_dict({"loss": meter.val,
-                              "grad_norm": float(metrics["grad_norm"])},
+                              "grad_norm": float(metrics["grad_norm"]),
+                              "node_overflow":
+                                  float(metrics.get("node_overflow", 0))},
                              prefix="train")
         write_to_record_file(
             f"iter {step}: loss {meter.val:.4f} "
@@ -492,7 +648,7 @@ def train(args, rt):
 
         rt["params"] = state.params
         scores = {}
-        for split in ("val_seen", "val_unseen"):
+        for split in ("val_train_seen", "val_seen", "val_unseen"):
             if split in rt["batchers"]:
                 m, _ = run_validation(rt, split)
                 scores[split] = m
@@ -500,6 +656,9 @@ def train(args, rt):
                 write_to_record_file(f"  {split}: {m}", record_file)
         save_orbax(os.path.abspath(
             os.path.join(args.output_dir, "ckpt_latest")), state.params)
+        # full state (params+opt_state+step) for kill-and-resume
+        save_train_state(os.path.abspath(
+            os.path.join(args.output_dir, "train_state_latest")), state)
         if args.save_torch_ckpt:
             _save_torch(state.params,
                         os.path.join(args.output_dir, "latest_dict.pt"), step)
@@ -514,8 +673,9 @@ def train(args, rt):
         # fire on every update_iter boundary crossed within this cycle
         # (steps only take multiples of log_every)
         if args.z_instr_update and \
-                step // args.update_iter > (step - interval) // args.update_iter:
+                step // args.update_iter > it // args.update_iter:
             _update_zdict(args, rt, state.params, record_file)
+        it = step
     return state
 
 
@@ -563,7 +723,7 @@ def valid(args, rt):
 
     os.makedirs(args.output_dir, exist_ok=True)
     record_file = os.path.join(args.output_dir, "valid.log")
-    for split in ("val_seen", "val_unseen"):
+    for split in ("val_train_seen", "val_seen", "val_unseen", "test"):
         if split not in rt["batchers"]:
             continue
         t0 = time.time()
@@ -574,8 +734,11 @@ def valid(args, rt):
                                            merge_dist_results, process_index)
 
         preds = merge_dist_results(all_gather_objects(preds))
+        # no gt paths on the test split: dump predictions only
+        # (main_nav.py:376-385 guards eval_metrics the same way)
         write_to_record_file(
-            f"{split} ({time.time()-t0:.1f}s): {m}", record_file)
+            f"{split} ({time.time()-t0:.1f}s): "
+            f"{'predictions only' if split == 'test' else m}", record_file)
         if args.submit and process_index() == 0:
             out = os.path.join(args.output_dir, f"submit_{split}.json")
             with open(out, "w") as f:

@@ -44,40 +44,61 @@ def construct_instrs(anno_dir: str, dataset: str, splits: Sequence[str],
     raw = load_instr_datasets(anno_dir, dataset, splits, tokenizer)
     out: Dict[str, List[dict]] = {}
     for split, data in raw.items():
-        items = []
-        for item in data:
-            if dataset == "rxr":
-                if english_only and "en" not in item.get("language", "en"):
-                    continue
-                items.append(dict(
-                    instr_id=f"{item['path_id']}_{item.get('instruction_id', 0)}",
-                    path_id=item["path_id"], scan=item["scan"],
-                    path=item["path"], heading=item.get("heading", 0.0),
-                    instruction=item.get("instruction", ""),
-                    instr_encoding=item["instr_encoding"][:max_instr_len],
-                ))
-            else:
-                for j, instr in enumerate(item.get("instructions", [""])):
-                    encs = item.get("instr_encodings", [[]] * (j + 1))
-                    new = dict(
-                        instr_id=f"{item['path_id']}_{j}",
-                        path_id=item["path_id"], scan=item["scan"],
-                        path=item["path"], heading=item.get("heading", 0.0),
-                        instruction=instr,
-                        instr_encoding=encs[j][:max_instr_len],
-                    )
-                    if "objId" in item:
-                        new["objId"] = item["objId"]
-                        new["instr_id"] = \
-                            f"{item['path_id']}_{item['objId']}_{j}"
-                    items.append(new)
-        if for_debug:
-            items = items[:50]
-        out[split] = items
+        out[split] = _expand_items(data, dataset, max_instr_len,
+                                   english_only, for_debug)
 
     # val_train_seen comes from its own annotation file, 50 raw paths
     # sliced pre-expansion in load_instr_datasets — no synthesis from train
     return out
+
+
+def _expand_items(data: list, dataset: str, max_instr_len: int,
+                  english_only: bool, for_debug: bool) -> List[dict]:
+    items = []
+    for item in data:
+        if dataset == "rxr":
+            if english_only and "en" not in item.get("language", "en"):
+                continue
+            items.append(dict(
+                instr_id=f"{item['path_id']}_{item.get('instruction_id', 0)}",
+                path_id=item["path_id"], scan=item["scan"],
+                path=item["path"], heading=item.get("heading", 0.0),
+                instruction=item.get("instruction", ""),
+                instr_encoding=item["instr_encoding"][:max_instr_len],
+            ))
+        else:
+            for j, instr in enumerate(item.get("instructions", [""])):
+                encs = item.get("instr_encodings", [[]] * (j + 1))
+                new = dict(
+                    instr_id=f"{item['path_id']}_{j}",
+                    path_id=item["path_id"], scan=item["scan"],
+                    path=item["path"], heading=item.get("heading", 0.0),
+                    instruction=instr,
+                    instr_encoding=encs[j][:max_instr_len],
+                )
+                if "objId" in item:
+                    new["objId"] = item["objId"]
+                    new["instr_id"] = \
+                        f"{item['path_id']}_{item['objId']}_{j}"
+                items.append(new)
+    if for_debug:
+        items = items[:50]
+    return items
+
+
+def load_annotation_file(path: str, dataset: str, tokenizer: str = "roberta",
+                         max_instr_len: int = 200, for_debug: bool = False,
+                         english_only: bool = True) -> List[dict]:
+    """Load one explicit annotation file (json list or jsonl) into flat
+    items — used for the --aug trajectory dataset (main_nav.py:82-97 builds
+    an R2RNavBatch directly over args.aug)."""
+    if path.endswith(".jsonl"):
+        data = [json.loads(line) for line in open(path)]
+    else:
+        with open(path) as f:
+            data = json.load(f)
+    return _expand_items(data, dataset, max_instr_len, english_only,
+                         for_debug)
 
 
 def load_obj2vps(bbox_file: str) -> Dict[tuple, List[str]]:

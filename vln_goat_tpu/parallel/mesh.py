@@ -30,11 +30,22 @@ def make_mesh(n_devices: Optional[int] = None,
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Shard every leaf on its leading (batch) axis across 'dp'."""
-    sh = NamedSharding(mesh, P("dp"))
+    """Shard every batch-leading leaf across 'dp'; replicate the rest.
+
+    The batch size is inferred from the episode batch's `scan_idx` leaf when
+    present; leaves without that leading dim (e.g. the shared
+    back-translation `feat_noise` vector [Df]) are replicated."""
+    data_sh = NamedSharding(mesh, P("dp"))
+    repl_sh = NamedSharding(mesh, P())
+    B = None
+    if isinstance(batch, dict) and "scan_idx" in batch:
+        B = batch["scan_idx"].shape[0]
 
     def put(x):
-        return jax.device_put(x, sh)
+        if B is None or (hasattr(x, "ndim") and x.ndim >= 1
+                         and x.shape[0] == B):
+            return jax.device_put(x, data_sh)
+        return jax.device_put(x, repl_sh)
 
     return jax.tree.map(put, batch)
 

@@ -240,3 +240,55 @@ def load_orbax(path: str, like: Any) -> Any:
 
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(path, like)
+
+
+# ----------------------------------------------------------------------
+# Full training-state checkpoints (params + optimizer state + step counter):
+# the reference's --save_optimizer / --resume_file continuation semantics
+# (agent_base.py:205-253 saves {'epoch', 'state_dict', 'optimizer'} and
+# load() restores the iteration count).  A marker file distinguishes these
+# from params-only checkpoints so build_runtime can route restores.
+_TRAIN_STATE_MARKER = "GOAT_TRAIN_STATE"
+
+
+def save_train_state(path: str, state: Any):
+    """state: TrainState-like with .params/.opt_state/.step."""
+    import os
+
+    save_orbax(path, {"params": state.params, "opt_state": state.opt_state,
+                      "step": state.step})
+    with open(os.path.join(path, _TRAIN_STATE_MARKER), "w") as f:
+        f.write("1\n")
+
+
+def is_train_state_dir(path: str) -> bool:
+    import os
+
+    return os.path.isdir(path) and \
+        os.path.exists(os.path.join(path, _TRAIN_STATE_MARKER))
+
+
+def load_train_state(path: str, like_state: Any):
+    """-> (state, start_step). The optimizer (and thus opt_state structure)
+    must be built with the same flags as the saved run."""
+    restored = load_orbax(path, {"params": like_state.params,
+                                 "opt_state": like_state.opt_state,
+                                 "step": like_state.step})
+    state = type(like_state)(restored["params"], restored["opt_state"],
+                             restored["step"])
+    return state, int(np.asarray(restored["step"]))
+
+
+def load_train_state_params(path: str) -> Any:
+    """Restore only the params subtree from a full train-state checkpoint
+    (no optimizer reconstruction needed — shapes come from the checkpoint
+    metadata).  Used by valid/extract modes given a --resume_file that
+    points at a train_state_latest dir."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    tree = ckptr.metadata(path).item_metadata.tree
+    like = jax.tree.map(lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype),
+                        tree)
+    return ckptr.restore(path, like)["params"]
