@@ -1,0 +1,117 @@
+"""Fused-DAgger correctness: the single 2B-episode scan must reproduce the
+two separate rollouts it replaces (trainer.py train_alg='dagger_fused';
+reference semantics agent_base.py:154-203), and the chunked early-exit
+scan must be loss-identical to the plain full-horizon scan."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vln_goat_tpu.config import GoatConfig
+from vln_goat_tpu.models.goat import GoatModel
+from vln_goat_tpu.rollout.env import EpisodeBatcher, make_synthetic_dataset
+from vln_goat_tpu.rollout.rollout import NavRollout, RolloutConfig
+from vln_goat_tpu.rollout.world import NavWorld
+from vln_goat_tpu.sim.graph_sim import make_synthetic_scan
+from vln_goat_tpu.train.params import init_goat_params
+from vln_goat_tpu.train.trainer import (fuse_dagger_batches,
+                                        init_train_state, make_optimizer,
+                                        make_train_step)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = GoatConfig(num_l_layers=1, num_x_layers=1, num_pano_layers=1,
+                     hidden_size=32, num_attention_heads=2,
+                     intermediate_size=64, vocab_size=64,
+                     max_position_embeddings=64, image_feat_size=16,
+                     hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+                     feat_dropout=0.0)
+    rcfg = RolloutConfig(num_nodes=12, horizon=6, feat_dim=16)
+    scans = [make_synthetic_scan("s0", num_vps=12, seed=0)]
+    world = NavWorld.build(scans, feat_dim=16, seed=0)
+    model = GoatModel(cfg)
+    params = init_goat_params(model, jax.random.PRNGKey(0), max_cands=16,
+                              num_nodes=rcfg.num_nodes)
+    ro = NavRollout(model, world, rcfg)
+    graphs = {g.scan_id: g for g in scans}
+    data = make_synthetic_dataset(graphs, 24, vocab_size=cfg.vocab_size,
+                                  path_len=(3, 5), seed=1)
+    batcher = EpisodeBatcher(data, graphs, ["s0"], batch_size=4,
+                             max_instr_len=24, max_gt_len=7)
+    return dict(ro=ro, params=params, batcher=batcher)
+
+
+def test_fused_halves_match_separate_rollouts(tiny):
+    """With a deterministic sample branch (argmax) and no dropout, each
+    fused half's per-episode loss equals the separate rollout's loss."""
+    ro, params, batcher = tiny["ro"], tiny["params"], tiny["batcher"]
+    _, b1 = batcher.next_batch()
+    _, b2 = batcher.next_batch()
+    rng = jax.random.PRNGKey(3)
+
+    t_fn = jax.jit(ro.build_rollout("teacher", train_ml=True,
+                                    deterministic=True))
+    a_fn = jax.jit(ro.build_rollout("argmax", train_ml=True,
+                                    deterministic=True))
+    f_fn = jax.jit(ro.build_rollout("fused_dagger", train_ml=True,
+                                    deterministic=True,
+                                    sample_feedback="argmax"))
+
+    out_t = t_fn(params, b1, rng)
+    out_a = a_fn(params, b2, rng)
+    fused = fuse_dagger_batches(b1, b2)
+    out_f = f_fn(params, fused, rng)
+
+    B1 = b1["scan_idx"].shape[0]
+    lpe = np.asarray(out_f["loss_per_ep"])
+    np.testing.assert_allclose(lpe[:B1].sum() / B1,
+                               float(out_t["ml_loss"]), rtol=2e-5)
+    np.testing.assert_allclose(lpe[B1:].sum() / (len(lpe) - B1),
+                               float(out_a["ml_loss"]), rtol=2e-5)
+    # actions of each half match the separate runs
+    np.testing.assert_array_equal(np.asarray(out_f["actions"])[:, :B1],
+                                  np.asarray(out_t["actions"]))
+    np.testing.assert_array_equal(np.asarray(out_f["actions"])[:, B1:],
+                                  np.asarray(out_a["actions"]))
+
+
+def test_chunked_exit_matches_full_scan(tiny):
+    """exit_chunk early-exit (reference's `if ended.all(): break`,
+    agent.py:693-694) changes compute, never values."""
+    ro, params, batcher = tiny["ro"], tiny["params"], tiny["batcher"]
+    _, b = batcher.next_batch()
+    rng = jax.random.PRNGKey(5)
+    full = jax.jit(ro.build_rollout("teacher", train_ml=True,
+                                    deterministic=True, exit_chunk=0))
+    chunked = jax.jit(ro.build_rollout("teacher", train_ml=True,
+                                       deterministic=True, exit_chunk=2))
+    o1 = full(params, b, rng)
+    o2 = chunked(params, b, rng)
+    np.testing.assert_allclose(float(o1["ml_loss"]), float(o2["ml_loss"]),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(o1["actions"]),
+                                  np.asarray(o2["actions"]))
+    np.testing.assert_array_equal(np.asarray(o1["stop_node"]),
+                                  np.asarray(o2["stop_node"]))
+
+
+def test_train_step_dagger_fused(tiny):
+    """One fused train step: finite loss/grad, per-half metrics exposed,
+    and gradients actually update the params."""
+    ro, params, batcher = tiny["ro"], tiny["params"], tiny["batcher"]
+    tx = make_optimizer(lr=1e-4)
+    step = jax.jit(make_train_step(ro, tx, train_alg="dagger_fused",
+                                   ml_weight=0.2))
+    state = init_train_state(params, tx)
+    _, b1 = batcher.next_batch()
+    _, b2 = batcher.next_batch()
+    batch = fuse_dagger_batches(b1, b2)
+    state2, m = step(state, batch, jax.random.PRNGKey(0))
+    for k in ("loss", "il_loss", "sample_loss", "grad_norm",
+              "node_overflow"):
+        assert np.isfinite(float(m[k])), k
+    leaf0 = jax.tree_util.tree_leaves(state.params)[0]
+    leaf1 = jax.tree_util.tree_leaves(state2.params)[0]
+    assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))

@@ -114,8 +114,14 @@ def parse_args(argv=None):
     p.add_argument("--log_every", type=int, default=1000)
     p.add_argument("--batch_size", type=int, default=12)
     p.add_argument("--lr", type=float, default=2e-5)
-    p.add_argument("--train_alg", default="dagger",
-                   choices=["imitation", "dagger"])
+    # dagger_fused = the same two-rollout DAgger update executed as ONE
+    # 2B-episode scan (teacher half + sample half; trainer.py) — identical
+    # semantics to 'dagger', roughly 2x step throughput on TPU
+    p.add_argument("--train_alg", default="dagger_fused",
+                   choices=["imitation", "dagger", "dagger_fused"])
+    p.add_argument("--remat", default="full",
+                   choices=["full", "dots", "none"],
+                   help="rollout rematerialization policy for training")
     p.add_argument("--ml_weight", type=float, default=0.2)
     p.add_argument("--grad_clip", type=float, default=40.0)
     p.add_argument("--max_action_len", type=int, default=None)
@@ -512,8 +518,9 @@ def train(args, rt):
         rt["rollout"], tx, train_alg=args.train_alg,
         ml_weight=args.ml_weight,
         sample_feedback="expl_sample" if args.expl_sample else "sample",
-        expl_max_ratio=args.expl_max_ratio))
+        expl_max_ratio=args.expl_max_ratio, remat=args.remat))
     state = init_train_state(rt["params"], tx)
+    fused = args.train_alg == "dagger_fused"
 
     # full-state resume: continue the iteration counter
     # (agent_base.py:205-253 --resume_file semantics)
@@ -559,8 +566,17 @@ def train(args, rt):
                 m, _ = run_validation(rt, split, max_batches=4)
                 write_to_record_file(f"[eval_first] {split}: {m}", record_file)
 
+    from .train.trainer import fuse_dagger_batches
+
     def one_update(state, items, batch, key, feat_noise=None):
         batch = causal_batch(rt, batch, items)
+        if fused:
+            # the reference's two DAgger rollouts consume two minibatches
+            # (env.reset per rollout, agent_base.py:168-177); the fused
+            # step takes both at once, first half teacher-forced
+            items2, batch2 = batcher.next_batch()
+            batch = fuse_dagger_batches(batch,
+                                        causal_batch(rt, batch2, items2))
         if feat_noise is not None:
             batch["feat_noise"] = jnp.asarray(feat_noise)
         if mesh is not None:
@@ -569,8 +585,12 @@ def train(args, rt):
 
     def aug_update(state, key, bt_rng):
         """One aug-env update, optionally with speaker-re-captioned
-        instructions + shared feature-dropout noise (agent.py:459-474)."""
+        instructions + shared feature-dropout noise (agent.py:459-474).
+        When fused, both DAgger halves come from the aug batcher and are
+        re-captioned in one speaker pass sharing one noise vector."""
         items = aug_batcher.next_minibatch()
+        if fused:
+            items = items + aug_batcher.next_minibatch()
         noise = None
         if speaker is not None:
             from .speaker.backtranslate import backtranslate, swap_instructions
@@ -587,20 +607,34 @@ def train(args, rt):
                 image_feat_size=rt["cfg"].image_feat_size)
             items = swap_instructions(items, toks, eos_id=scfg.eos_id,
                                       bos_id=scfg.bos_id)
+        if fused:
+            half = len(items) // 2
+            b1 = causal_batch(rt, aug_batcher.make_batch(items[:half]),
+                              items[:half])
+            b2 = causal_batch(rt, aug_batcher.make_batch(items[half:]),
+                              items[half:])
+            batch = fuse_dagger_batches(b1, b2)
+            if noise is not None:
+                batch["feat_noise"] = jnp.asarray(noise)
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            return step_fn(state, batch, key)
         batch = aug_batcher.make_batch(items)
         return one_update(state, items, batch, key, feat_noise=noise)
 
     per = args.aug_times + 1
     # fast-forward the (seeded, deterministic) batch iterators so a resumed
     # run sees the same data sequence as the uninterrupted one
+    pulls = 2 if fused else 1  # minibatches consumed per update
     if start_iter:
         if aug_batcher is None:
-            for _ in range(start_iter):
+            for _ in range(start_iter * pulls):
                 batcher.next_minibatch()
         else:
             for _ in range(start_iter // per):
-                batcher.next_minibatch()
-                for _ in range(args.aug_times):
+                for _ in range(pulls):
+                    batcher.next_minibatch()
+                for _ in range(args.aug_times * pulls):
                     aug_batcher.next_minibatch()
 
     t0 = time.time()

@@ -498,9 +498,34 @@ class NavRollout:
     # ------------------------------------------------------------------
     def build_rollout(self, feedback: str = "argmax", train_ml: bool = False,
                       deterministic: bool = True,
-                      expl_max_ratio: float = 0.6):
+                      expl_max_ratio: float = 0.6,
+                      sample_feedback: str = "sample",
+                      remat: str = "full", record_logits: bool = False,
+                      exit_chunk: int = 5):
         """Returns rollout(params, batch, rng) -> outputs dict.  `feedback`
-        in {teacher, sample, argmax, expl_sample} (agent.py:624-647)."""
+        in {teacher, sample, argmax, expl_sample, fused_dagger}
+        (agent.py:624-647).
+
+        feedback='fused_dagger' runs the reference's two DAgger rollouts
+        (teacher-forced at ml_weight + on-policy `sample_feedback`,
+        agent_base.py:154-203) as ONE batched scan: episodes where
+        batch['is_teacher'] is True follow the imitation expert, the rest
+        sample from the policy.  One 2B-batch model call per step keeps the
+        MXU fed with matmuls twice as large as two separate B-batch scans
+        and halves the scan/backward bookkeeping; per-episode losses come
+        back in out['loss_per_ep'] for ml_weight mixing.
+
+        remat: 'full' re-runs the whole step in the backward (min HBM),
+        'dots' saves matmul outputs (jax.checkpoint_policies
+        .dots_with_no_batch_dims_saveable — faster when HBM allows),
+        'none' stores all activations.
+
+        exit_chunk: the training scan runs in chunks of this many steps,
+        each wrapped in lax.cond(any episode still active) — the
+        static-shape analogue of the reference's `if ended.all(): break`
+        (agent.py:693-694): once every episode has stopped, remaining
+        chunks skip all model compute (forward AND backward).  0 disables
+        chunking (single scan over the full horizon)."""
         model, w, r, c = self.model, self.world, self.rcfg, self.mcfg
 
         def apply(params, rng, method, *args, **kw):
@@ -613,7 +638,7 @@ class NavRollout:
 
                 # object grounding bookkeeping (reverie agent: og pred of the
                 # eventual stop node, agent_obj_goat.py:676-690)
-                og_loss = jnp.zeros(())
+                og_loss = jnp.zeros((B,))
                 if outs.get("obj_logits") is not None:
                     obj_off = 2 + self.rcfg_obj_offset()
                     oslot = jnp.argmax(outs["obj_logits"], axis=1)
@@ -636,47 +661,60 @@ class NavRollout:
                         ologp = jax.nn.log_softmax(safe, axis=1)
                         oli = jnp.take_along_axis(
                             ologp, jnp.maximum(gt_slot, 0)[:, None], 1)[:, 0]
-                        og_loss = -jnp.sum(jnp.where(ok, oli, 0.0))
+                        og_loss = -jnp.where(ok, oli, 0.0)
 
                 # supervision — skipped entirely in pure inference (the
                 # ndtw expert in particular costs a per-step DTW sweep)
-                if train_ml or feedback == "teacher":
+                if feedback == "fused_dagger":
+                    t_im = self._teacher(st, batch, aux, t, imitation=True)
+                    t_ex = self._teacher(st, batch, aux, t, imitation=False)
+                    target = jnp.where(batch["is_teacher"], t_im, t_ex)
+                elif train_ml or feedback == "teacher":
                     target = self._teacher(st, batch, aux, t,
                                            imitation=(feedback == "teacher"))
                 else:
                     target = jnp.full((B,), IGNORE_ID, jnp.int32)
                 if train_ml:
-                    logp = jax.nn.log_softmax(logits, axis=1)
+                    # CE in fp32 even under bf16 compute (loss numerics)
+                    logp = jax.nn.log_softmax(logits.astype(jnp.float32),
+                                              axis=1)
                     tgt_ok = target >= 0
                     li = jnp.take_along_axis(
                         logp, jnp.maximum(target, 0)[:, None], axis=1)[:, 0]
-                    step_loss = -jnp.sum(jnp.where(tgt_ok, li, 0.0)) + og_loss
+                    step_loss = -jnp.where(tgt_ok, li, 0.0) + og_loss
                 else:
-                    step_loss = jnp.zeros(())
+                    step_loss = jnp.zeros((B,))
 
                 # action selection
+                def select_sample(mode):
+                    if mode == "argmax":
+                        return jnp.argmax(logits, axis=1).astype(jnp.int32)
+                    if mode == "sample":
+                        return jax.random.categorical(
+                            jax.random.fold_in(rng_t, 7), logits, axis=1
+                        ).astype(jnp.int32)
+                    if mode == "expl_sample":
+                        # argmax, but with prob (1 - expl_max_ratio) jump to
+                        # a uniformly random reachable unvisited node
+                        # (agent.py:634-644)
+                        am = jnp.argmax(logits, axis=1).astype(jnp.int32)
+                        r1, r2 = jax.random.split(
+                            jax.random.fold_in(rng_t, 11))
+                        explore = jax.random.uniform(r1, (B,)) > expl_max_ratio
+                        ok = jnp.isfinite(logits)
+                        rnd = jax.random.categorical(
+                            r2, jnp.where(ok, 0.0, -jnp.inf), axis=1
+                        ).astype(jnp.int32)
+                        return jnp.where(explore, rnd, am)
+                    raise ValueError(mode)
+
                 if feedback == "teacher":
                     a = jnp.maximum(target, 0)
-                elif feedback == "argmax":
-                    a = jnp.argmax(logits, axis=1).astype(jnp.int32)
-                elif feedback == "sample":
-                    a = jax.random.categorical(
-                        jax.random.fold_in(rng_t, 7), logits, axis=1
-                    ).astype(jnp.int32)
-                elif feedback == "expl_sample":
-                    # argmax, but with prob (1 - expl_max_ratio) jump to a
-                    # uniformly random reachable unvisited node
-                    # (agent.py:634-644)
-                    a = jnp.argmax(logits, axis=1).astype(jnp.int32)
-                    r1, r2 = jax.random.split(jax.random.fold_in(rng_t, 11))
-                    explore = jax.random.uniform(r1, (B,)) > expl_max_ratio
-                    ok = jnp.isfinite(logits)
-                    rnd = jax.random.categorical(
-                        r2, jnp.where(ok, 0.0, -jnp.inf), axis=1
-                    ).astype(jnp.int32)
-                    a = jnp.where(explore, rnd, a)
+                elif feedback == "fused_dagger":
+                    a = jnp.where(batch["is_teacher"], jnp.maximum(target, 0),
+                                  select_sample(sample_feedback))
                 else:
-                    raise ValueError(feedback)
+                    a = select_sample(feedback)
 
                 # stop determination (agent.py:649-662): in teacher/sample
                 # mode the episode ends at the goal OR when the chosen
@@ -686,6 +724,11 @@ class NavRollout:
                 goal = batch["gt_path"][bidx, batch["gt_len"] - 1]
                 if feedback in ("teacher", "sample"):
                     a_stop = (cur_vp == goal) | (a == 0)
+                elif feedback == "fused_dagger":
+                    samp_stop = ((cur_vp == goal) | (a == 0)) \
+                        if sample_feedback == "sample" else (a == 0)
+                    a_stop = jnp.where(batch["is_teacher"],
+                                       (cur_vp == goal) | (a == 0), samp_stop)
                 else:
                     a_stop = a == 0
                 just_ended = act & (a_stop | aux["no_vp_left"]
@@ -733,19 +776,77 @@ class NavRollout:
                 # arrival graph update for movers
                 st = self._arrive(st, batch, st["cur"], skip=~moves)
 
+                # records are float32 regardless of the compute dtype so
+                # the early-exit skip branch (and the loss sum) are stable
                 rec = dict(action_node=jnp.where(moves, tgt_node, -1),
                            seg=seg, seg_hops=seg_hops,
-                           target=target, logits_stop=logits[:, 0],
-                           just_ended=just_ended, loss=step_loss)
+                           target=target,
+                           logits_stop=logits[:, 0].astype(jnp.float32),
+                           just_ended=just_ended,
+                           loss=step_loss.astype(jnp.float32))
+                if record_logits:
+                    # full fused-logit rows for oracle parity tests
+                    rec["logits"] = logits.astype(jnp.float32)
+                    rec["active"] = act
                 return st, rec
 
             keys = jax.random.split(rng_loop, r.horizon)
             if train_ml:
                 # rematerialize each step during training: the backward
                 # through T=15 full model forwards recomputes instead of
-                # storing activations (HBM is the bottleneck, FLOPs cheap)
-                xs = (jnp.arange(r.horizon), keys)
-                st, recs = jax.lax.scan(jax.checkpoint(step), st, xs)
+                # storing activations (HBM is the bottleneck, FLOPs cheap).
+                # remat='dots' keeps matmul outputs (recompute only the
+                # cheap elementwise glue), 'none' stores everything.
+                if remat == "full":
+                    step_fn = jax.checkpoint(step)
+                elif remat == "dots":
+                    step_fn = jax.checkpoint(
+                        step, policy=jax.checkpoint_policies
+                        .dots_with_no_batch_dims_saveable)
+                elif remat == "none":
+                    step_fn = step
+                else:
+                    raise ValueError(remat)
+                T = r.horizon
+                if exit_chunk and exit_chunk < T:
+                    # chunked early exit: skip whole chunks (fwd + bwd)
+                    # once every episode in the batch has ended
+                    G = r.num_nodes + 2
+
+                    def zero_recs(C):
+                        z = dict(
+                            action_node=jnp.full((C, B), -1, jnp.int32),
+                            seg=jnp.full((C, B, r.seg_len), -1, jnp.int32),
+                            seg_hops=jnp.zeros((C, B)),
+                            target=jnp.full((C, B), IGNORE_ID, jnp.int32),
+                            logits_stop=jnp.zeros((C, B)),
+                            just_ended=jnp.zeros((C, B), bool),
+                            loss=jnp.zeros((C, B)),
+                        )
+                        if record_logits:
+                            z["logits"] = jnp.full((C, B, G), -jnp.inf)
+                            z["active"] = jnp.zeros((C, B), bool)
+                        return z
+
+                    chunks = []
+                    for c0 in range(0, T, exit_chunk):
+                        C = min(exit_chunk, T - c0)
+                        xs_c = (jnp.arange(c0, c0 + C), keys[c0:c0 + C])
+
+                        def run(st_c, xs_c=xs_c):
+                            return jax.lax.scan(step_fn, st_c, xs_c)
+
+                        def skip(st_c, C=C):
+                            return st_c, zero_recs(C)
+
+                        st, rc = jax.lax.cond(
+                            ~jnp.all(st["ended"]), run, skip, st)
+                        chunks.append(rc)
+                    recs = jax.tree_util.tree_map(
+                        lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
+                else:
+                    xs = (jnp.arange(T), keys)
+                    st, recs = jax.lax.scan(step_fn, st, xs)
             else:
                 # inference: early-exit while_loop — episodes average far
                 # fewer than `horizon` steps (the reference breaks when all
@@ -755,15 +856,20 @@ class NavRollout:
                 B = batch["scan_idx"].shape[0]
 
                 def mk_rec():
-                    return dict(
+                    recs = dict(
                         action_node=jnp.full((T, B), -1, jnp.int32),
                         seg=jnp.full((T, B, r.seg_len), -1, jnp.int32),
                         seg_hops=jnp.zeros((T, B)),
                         target=jnp.full((T, B), IGNORE_ID, jnp.int32),
                         logits_stop=jnp.zeros((T, B)),
                         just_ended=jnp.zeros((T, B), bool),
-                        loss=jnp.zeros((T,)),
+                        loss=jnp.zeros((T, B)),
                     )
+                    if record_logits:
+                        recs["logits"] = jnp.full((T, B, r.num_nodes + 2),
+                                                  -jnp.inf)
+                        recs["active"] = jnp.zeros((T, B), bool)
+                    return recs
 
                 def cond(carry):
                     st_c, recs_c, t = carry
@@ -788,6 +894,8 @@ class NavRollout:
 
             out = dict(
                 ml_loss=jnp.sum(recs["loss"]) / B,
+                # per-episode summed CE (for fused_dagger ml_weight mixing)
+                loss_per_ep=jnp.sum(recs["loss"], axis=0),
                 actions=recs["action_node"], segs=recs["seg"],
                 seg_hops=recs["seg_hops"], targets=recs["target"],
                 node_vp=st["node_vp"], stop_node=best_stop,
@@ -798,15 +906,21 @@ class NavRollout:
             if "og_oid" in st:
                 # predicted object id at the chosen stop node
                 out["pred_obj_id"] = st["og_oid"][bidx, best_stop]
+            if record_logits:
+                out["logits"] = recs["logits"]
+                out["active"] = recs["active"]
             return out
 
         return rollout
 
-    def jitted(self, feedback="argmax", train_ml=False, deterministic=True):
-        key = (feedback, train_ml, deterministic)
+    def jitted(self, feedback="argmax", train_ml=False, deterministic=True,
+               sample_feedback="sample", remat="full"):
+        key = (feedback, train_ml, deterministic, sample_feedback, remat)
         if key not in self._jitted:
             self._jitted[key] = jax.jit(
-                self.build_rollout(feedback, train_ml, deterministic))
+                self.build_rollout(feedback, train_ml, deterministic,
+                                   sample_feedback=sample_feedback,
+                                   remat=remat))
         return self._jitted[key]
 
 

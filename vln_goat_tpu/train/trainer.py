@@ -72,14 +72,28 @@ def make_optimizer(lr: float = 2e-5, weight_decay: float = 0.01,
 def make_train_step(rollout: NavRollout, tx,
                     train_alg: str = "dagger", ml_weight: float = 0.2,
                     sample_feedback: str = "sample",
-                    expl_max_ratio: float = 0.6):
+                    expl_max_ratio: float = 0.6, remat: str = "full"):
     """sample_feedback='expl_sample' replicates --expl_sample runs
-    (agent.py:436)."""
+    (agent.py:436).
+
+    train_alg='dagger_fused' runs the teacher + sample rollouts as ONE
+    2B-episode scan (rollout feedback='fused_dagger'): the reference pulls
+    a fresh minibatch for each of the two rollouts (env.reset inside
+    rollout, agent_base.py:154-203), so the fused batch is simply both
+    minibatches concatenated with batch['is_teacher'] marking the
+    teacher-forced half.  Each half's summed CE is divided by its own
+    half-size, exactly like the two separate rollouts."""
     teacher_fn = rollout.build_rollout("teacher", train_ml=True,
-                                      deterministic=False)
+                                      deterministic=False, remat=remat)
     sample_fn = rollout.build_rollout(sample_feedback, train_ml=True,
                                      deterministic=False,
-                                     expl_max_ratio=expl_max_ratio)
+                                     expl_max_ratio=expl_max_ratio,
+                                     remat=remat)
+    fused_fn = rollout.build_rollout("fused_dagger", train_ml=True,
+                                     deterministic=False,
+                                     expl_max_ratio=expl_max_ratio,
+                                     sample_feedback=sample_feedback,
+                                     remat=remat)
 
     def loss_fn(params, batch, rng):
         r1, r2 = jax.random.split(rng)
@@ -101,6 +115,17 @@ def make_train_step(rollout: NavRollout, tx,
             # dropped-candidate counter: nonzero means the fixed node table
             # (RolloutConfig.num_nodes) is too small for these episodes
             metrics["node_overflow"] = jnp.sum(out_s["overflow_n"])
+        elif train_alg == "dagger_fused":
+            out = fused_fn(params, batch, r1)
+            is_t = batch["is_teacher"]
+            n_t = jnp.maximum(jnp.sum(is_t), 1)
+            n_s = jnp.maximum(jnp.sum(~is_t), 1)
+            l_t = jnp.sum(jnp.where(is_t, out["loss_per_ep"], 0.0)) / n_t
+            l_s = jnp.sum(jnp.where(is_t, 0.0, out["loss_per_ep"])) / n_s
+            loss = ml_weight * l_t + l_s
+            metrics["il_loss"] = l_t
+            metrics["sample_loss"] = l_s
+            metrics["node_overflow"] = jnp.sum(out["overflow_n"])
         else:
             raise ValueError(train_alg)
         return loss, metrics
@@ -119,3 +144,25 @@ def make_train_step(rollout: NavRollout, tx,
 
 def init_train_state(params, tx) -> TrainState:
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+
+def fuse_dagger_batches(batch_t: Dict[str, Any],
+                        batch_s: Dict[str, Any]) -> Dict[str, Any]:
+    """Concatenate a teacher minibatch and a sample minibatch into one
+    fused-DAgger batch (per-episode arrays stacked, shared banks like
+    feat_noise kept from the teacher batch) and mark the teacher half."""
+    import numpy as np
+
+    b_t = int(np.asarray(batch_t["scan_idx"]).shape[0])
+    b_s = int(np.asarray(batch_s["scan_idx"]).shape[0])
+    shared = {"feat_noise"}
+    out = {}
+    for k, v in batch_t.items():
+        if k in shared or k not in batch_s:
+            out[k] = v
+        else:
+            out[k] = jnp.concatenate(
+                [jnp.asarray(v), jnp.asarray(batch_s[k])], axis=0)
+    out["is_teacher"] = jnp.concatenate(
+        [jnp.ones((b_t,), bool), jnp.zeros((b_s,), bool)])
+    return out
