@@ -1,34 +1,38 @@
-"""Rollout throughput benchmark: R2R-scale greedy decode, episodes/sec/chip.
+"""Throughput benchmarks at R2R scale.  Prints TWO JSON lines:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+1. greedy-decode rollout episodes/sec/chip (secondary);
+2. DAgger fine-tune episodes/sec/chip (the BASELINE.json north-star
+   metric) — LAST, so line-parsers record the primary metric.
 
-Baseline derivation (the reference repo publishes no throughput numbers —
-BASELINE.md): the reference R2R recipe runs 150k iterations at batch 12 on
-one GPU (map_nav_src/scripts/run_r2r_goat.sh). DUET-architecture fine-tuning
-of this size is reported/observed around 2 it/s on a modern GPU, i.e.
-~24 episodes/s for the rollout loop with its per-step host<->device and
-C++ sim round-trips. We use REF_EPISODES_PER_SEC = 24.0 as the provisional
-anchor until the reference can be re-benchmarked on its own hardware.
+Baseline anchors (BASELINE.md "Measured baseline" section; measured with
+scripts/bench_reference.py driving the UNMODIFIED reference stack on a
+fake MatterSim):
+- fine-tune: one reference DAgger iteration at B=12 spends 0.47s in the
+  host loop (candidate sweep, numpy packing, GraphMap bookkeeping) and
+  ~44.5s in CPU model compute.  On the authors' single GPU the compute
+  shrinks but the host loop does not, so eps/s <= 12/0.47 = 25.5.  We use
+  REF_TRAIN_EPS = 25.5 (the reference's zero-compute-time ceiling — every
+  vs_baseline number is therefore a LOWER bound on the true speedup).
+- decode: the same host-loop bound applies to test-mode rollouts (the
+  loop is identical minus backward); greedy decode runs ~1 rollout per
+  iteration instead of 2, so the ceiling is 2x the train bound.
 """
 import json
-import sys
+import os
 import time
 
 import jax
-import numpy as np
 
 # persistent compile cache: the rollout graph is large, recompiles are free
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
+REF_TRAIN_EPS = 25.5   # measured host-loop ceiling (B/host_s), see above
+REF_DECODE_EPS = 51.0  # one rollout per iteration instead of two
 
-REF_EPISODES_PER_SEC = 24.0
 
-
-def main():
-    import os
-
+def build(B, bf16=True):
     import jax.numpy as jnp
 
     from vln_goat_tpu.config import GoatConfig
@@ -39,39 +43,35 @@ def main():
     from vln_goat_tpu.sim.graph_sim import make_synthetic_scan
     from vln_goat_tpu.train.params import init_goat_params
 
-    # batch sweep on v5e: 474 eps/s @32, 596 @128, 577 @256 -> default 128
-    B = int(os.environ.get("GOAT_BENCH_B", "128"))
-    # NOTE use_pallas_attention stays off: the fused kernel wins 1.3-2.1x in
-    # isolation on v5e, but inside the full rollout the pallas call boundary
-    # blocks XLA from fusing the q/k/v projections and layout changes into
-    # the attention, netting 334 vs 474 eps/s. Revisit with qkv folded into
-    # the kernel.
-    cfg = GoatConfig.for_dataset("r2r")
+    cfg = GoatConfig.for_dataset(
+        "r2r",
+        use_pallas_attention=os.environ.get("GOAT_PALLAS", "0") == "1")
     rcfg = RolloutConfig(num_nodes=48, horizon=15, feat_dim=768)
     # Matterport-like scale: 4 scans x 120 viewpoints
     scans = [make_synthetic_scan(f"s{i}", num_vps=120, degree=4, seed=i)
              for i in range(4)]
-    import os
-    bf16 = os.environ.get("GOAT_BF16", "1") == "1"
     world = NavWorld.build(scans, feat_dim=768, seed=0)
     model = GoatModel(cfg, dtype=jnp.bfloat16 if bf16 else jnp.float32)
     params = init_goat_params(model, jax.random.PRNGKey(0), max_cands=16,
                               num_nodes=rcfg.num_nodes)
     ro = NavRollout(model, world, rcfg)
     graphs = {g.scan_id: g for g in scans}
-    data = make_synthetic_dataset(graphs, 256, vocab_size=cfg.vocab_size,
+    data = make_synthetic_dataset(graphs, 512, vocab_size=cfg.vocab_size,
                                   path_len=(4, 7), seed=1)
     batcher = EpisodeBatcher(data, graphs, [g.scan_id for g in scans],
-                             batch_size=B, max_instr_len=60, max_gt_len=16)
+                             batch_size=B, max_instr_len=60, max_gt_len=8)
+    return model, params, ro, batcher
 
+
+def bench_decode(B=None):
+    B = B or int(os.environ.get("GOAT_BENCH_B", "128"))
+    _, params, ro, batcher = build(B)
+    batcher.batch_size = B
     fn = ro.jitted(feedback="argmax", train_ml=False)
     _, batch = batcher.next_batch()
     rng = jax.random.PRNGKey(0)
-
-    # compile + warmup
     out = fn(params, batch, rng)
     jax.block_until_ready(out)
-
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
@@ -79,14 +79,66 @@ def main():
         out = fn(params, batch, jax.random.fold_in(rng, i))
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
+    return B * iters / dt
 
-    eps = B * iters / dt
+
+def bench_train(B=None):
+    """DAgger optimizer step (teacher rollout at the short gt-bounded
+    horizon + sampled rollout at the full horizon + backward + AdamW;
+    GOAT_BENCH_ALG=dagger_fused benches the single-scan variant).
+    Episodes/sec counted as B per iteration — the reference's it/s * batch
+    convention (one iteration consumes B teacher + B sample episodes on
+    both sides)."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from vln_goat_tpu.train import trainer as TR
+
+    B = B or int(os.environ.get("GOAT_BENCH_TRAIN_B", "32"))
+    _, params, ro, batcher = build(B)
+    tx = TR.make_optimizer(lr=2e-5)
+    state = TR.init_train_state(params, tx)
+    alg = os.environ.get("GOAT_BENCH_ALG", "dagger")
+    step = jax.jit(TR.make_train_step(
+        ro, tx, train_alg=alg, ml_weight=0.2,
+        remat=os.environ.get("GOAT_BENCH_REMAT", "full"),
+        teacher_horizon=None if alg == "dagger_fused" else 8))
+    rng = jax.random.PRNGKey(0)
+
+    def nb():
+        if alg == "dagger_fused":
+            _, b1 = batcher.next_batch()
+            _, b2 = batcher.next_batch()
+            return TR.fuse_dagger_batches(b1, b2)
+        return batcher.next_batch()[1]
+
+    state, m = step(state, nb(), rng)
+    jax.block_until_ready(m["loss"])
+    iters = 8
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, nb(), jax.random.fold_in(rng, i))
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    return B * iters / dt
+
+
+def main():
+    decode = bench_decode()
     print(json.dumps({
-        "metric": "r2r_rollout_episodes_per_sec_per_chip",
-        "value": round(eps, 2),
+        "metric": "r2r_greedy_decode_episodes_per_sec_per_chip",
+        "value": round(decode, 2),
         "unit": "episodes/s",
-        "vs_baseline": round(eps / REF_EPISODES_PER_SEC, 2),
-    }))
+        "vs_baseline": round(decode / REF_DECODE_EPS, 2),
+    }), flush=True)
+    train = bench_train()
+    print(json.dumps({
+        "metric": "r2r_dagger_finetune_episodes_per_sec_per_chip",
+        "value": round(train, 2),
+        "unit": "episodes/s",
+        "vs_baseline": round(train / REF_TRAIN_EPS, 2),
+        "decode_eps_per_sec": round(decode, 2),
+        "decode_vs_baseline": round(decode / REF_DECODE_EPS, 2),
+    }), flush=True)
 
 
 if __name__ == "__main__":

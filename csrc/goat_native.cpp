@@ -245,4 +245,110 @@ void kmeans_lloyd(int n, int d, int k, int iters, const float* x,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Token-block slicing (fairseq/data/token_block_utils_fast.pyx
+// _get_slice_indices_fast): partition the flat token stream of `n`
+// sentences with lengths `sizes` into blocks.  mode: 0=none (fixed
+// block_size windows), 1=complete (whole sentences up to block_size),
+// 2=complete_doc (document_sep_len-sized sentences are doc breaks; only
+// blocks with >1 token kept), 3=eos (one block per sentence).
+// block_sizes (may be null) = per-block target sizes when
+// block_multiple_max > 1, else block_size *= block_multiple_min.
+// Writes (start, end) int64 pairs into out (capacity cap pairs); returns
+// the block count (call with cap=0 to size the output).
+int token_block_slices(int n, const int64_t* sizes, int mode,
+                       int64_t block_size, int64_t document_sep_len,
+                       int block_multiple_min, int block_multiple_max,
+                       const int64_t* block_sizes, int64_t* out, int cap) {
+  int64_t total = 0;
+  for (int i = 0; i < n; ++i) total += sizes[i];
+  int m = 0;
+  auto emit = [&](int64_t s, int64_t e) {
+    if (m < cap) {
+      out[2 * m] = s;
+      out[2 * m + 1] = e;
+    }
+    ++m;
+  };
+  if (mode == 0) {
+    int64_t length = (total + block_size - 1) / block_size;
+    for (int64_t i = 0; i < length; ++i)
+      emit(i * block_size, std::min((i + 1) * block_size, total));
+    return m;
+  }
+  if (mode == 3) {
+    int64_t tok = 0;
+    for (int i = 0; i < n; ++i) {
+      emit(tok, tok + sizes[i]);
+      tok += sizes[i];
+    }
+    return m;
+  }
+  int counter = 0;
+  int64_t bs = (block_multiple_max > 1 && block_sizes)
+                   ? block_sizes[counter]
+                   : (int64_t)block_multiple_min * block_size;
+  int64_t tok = 0, curr = 0;
+  int64_t sz_idx = 0;
+  if (mode == 1) {  // complete
+    while (sz_idx < n) {
+      if (curr + sizes[sz_idx] <= bs || curr == 0) {
+        curr += sizes[sz_idx];
+        ++sz_idx;
+      } else {
+        emit(tok, tok + curr);
+        tok += curr;
+        curr = 0;
+        if (block_multiple_max > 1 && block_sizes) bs = block_sizes[++counter];
+      }
+    }
+    if (curr > 0) emit(tok, tok + curr);
+    return m;
+  }
+  // complete_doc
+  while (sz_idx < n) {
+    if ((curr + sizes[sz_idx] <= bs || curr == 0) &&
+        sizes[sz_idx] != document_sep_len) {
+      curr += sizes[sz_idx];
+      ++sz_idx;
+    } else {
+      if (curr > 1) emit(tok, tok + curr);
+      tok += curr;
+      curr = 0;
+      if (block_multiple_max > 1 && block_sizes) bs = block_sizes[++counter];
+      if (sizes[sz_idx] == document_sep_len) {
+        tok += sizes[sz_idx];
+        ++sz_idx;
+      }
+    }
+  }
+  if (curr > 1) emit(tok, tok + curr);
+  return m;
+}
+
+// _get_block_to_dataset_index_fast: map flat (start, end) slices to
+// (start_ds_idx, start_offset, end_ds_idx) via a linear DatasetSearcher
+// walk.  out: mk * 3 int64.
+void block_to_dataset_index(int n, const int64_t* sizes, int mk,
+                            const int64_t* slices, int64_t* out) {
+  // cumulative sentence starts
+  std::vector<int64_t> cum(n + 1, 0);
+  for (int i = 0; i < n; ++i) cum[i + 1] = cum[i] + sizes[i];
+  int idx = 0;
+  auto seek = [&](int64_t pos) {
+    while (idx + 1 <= n && cum[idx + 1] <= pos) ++idx;
+    while (idx > 0 && cum[idx] > pos) --idx;
+    return idx;
+  };
+  for (int b = 0; b < mk; ++b) {
+    int64_t s = slices[2 * b], e = slices[2 * b + 1];
+    int sdi = seek(s);
+    int64_t soff = s - cum[sdi];
+    int edi = (e <= s) ? sdi : seek(e - 1);
+    out[3 * b] = sdi;
+    out[3 * b + 1] = soff;
+    out[3 * b + 2] = edi;
+  }
+}
+
 }  // extern "C"

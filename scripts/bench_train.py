@@ -43,11 +43,12 @@ def build(B, alg, remat, bf16, num_nodes=48):
     data = make_synthetic_dataset(graphs, 512, vocab_size=cfg.vocab_size,
                                   path_len=(4, 7), seed=1)
     batcher = EpisodeBatcher(data, graphs, [g.scan_id for g in scans],
-                             batch_size=B, max_instr_len=60, max_gt_len=16)
+                             batch_size=B, max_instr_len=60, max_gt_len=8)
     tx = TR.make_optimizer(lr=2e-5)
     state = TR.init_train_state(params, tx)
     step = jax.jit(TR.make_train_step(
-        ro, tx, train_alg=alg, ml_weight=0.2, remat=remat))
+        ro, tx, train_alg=alg, ml_weight=0.2, remat=remat,
+        teacher_horizon=None if alg == "dagger_fused" else 8))
     return step, state, batcher
 
 

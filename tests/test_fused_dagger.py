@@ -97,6 +97,31 @@ def test_chunked_exit_matches_full_scan(tiny):
                                   np.asarray(o2["stop_node"]))
 
 
+def test_teacher_horizon_shortening_loss_identical(tiny):
+    """Teacher episodes end within max(gt_len) steps, so running the
+    teacher scan at that horizon is loss-identical to the full horizon
+    (make_train_step teacher_horizon)."""
+    import dataclasses
+
+    from vln_goat_tpu.rollout.rollout import NavRollout
+
+    ro, params, batcher = tiny["ro"], tiny["params"], tiny["batcher"]
+    _, b = batcher.next_batch()
+    rng = jax.random.PRNGKey(9)
+    full = jax.jit(ro.build_rollout("teacher", train_ml=True,
+                                    deterministic=True))
+    short_ro = NavRollout(ro.model, ro.world,
+                          dataclasses.replace(ro.rcfg, horizon=5))
+    short = jax.jit(short_ro.build_rollout("teacher", train_ml=True,
+                                           deterministic=True))
+    # gt paths in the fixture have <= 5 nodes -> all episodes stop by t=4
+    assert int(np.asarray(b["gt_len"]).max()) <= 5
+    o1 = full(params, b, rng)
+    o2 = short(params, b, rng)
+    np.testing.assert_allclose(float(o1["ml_loss"]), float(o2["ml_loss"]),
+                               rtol=1e-6)
+
+
 def test_train_step_dagger_fused(tiny):
     """One fused train step: finite loss/grad, per-half metrics exposed,
     and gradients actually update the params."""

@@ -71,3 +71,37 @@ def test_model_with_pallas_flag_matches_plain(rng):
                                    rtol=1e-4)
     finally:
         A.pallas_mha = orig
+
+
+@pytest.mark.parametrize("Lq,Lk,bias_kind", [
+    (16, 16, None), (24, 40, "key"), (12, 12, "full")])
+def test_fused_qkv_mha_matches_xla(rng, Lq, Lk, bias_kind):
+    """The folded-projection kernel (pallas_fused_qkv_mha) equals
+    project-then-attend."""
+    from vln_goat_tpu.ops.attention import pallas_fused_qkv_mha
+
+    B, H, dh, D = 2, 4, 8, 24
+    d = H * dh
+    x = jnp.asarray(rng.standard_normal((B, Lq, D)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((B, Lk, D)).astype(np.float32))
+    ws = [jnp.asarray(rng.standard_normal((D, d)).astype(np.float32) * 0.1)
+          for _ in range(3)]
+    bs = [jnp.asarray(rng.standard_normal((d,)).astype(np.float32) * 0.1)
+          for _ in range(3)]
+    if bias_kind is None:
+        bias = None
+    elif bias_kind == "key":
+        mask = rng.random((B, Lk)) < 0.8
+        bias = jnp.asarray(((1.0 - mask) * -10000.0)
+                           .astype(np.float32))[:, None, None, :]
+    else:
+        bias = jnp.asarray(rng.standard_normal(
+            (B, H, Lq, Lk)).astype(np.float32))
+    out = pallas_fused_qkv_mha(x, y, ws[0], bs[0], ws[1], bs[1], ws[2],
+                               bs[2], bias, num_heads=H, interpret=True)
+    q = (x @ ws[0] + bs[0]).reshape(B, Lq, H, dh)
+    k = (y @ ws[1] + bs[1]).reshape(B, Lk, H, dh)
+    v = (y @ ws[2] + bs[2]).reshape(B, Lk, H, dh)
+    ref = _xla_ref(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5,
+                               rtol=1e-4)

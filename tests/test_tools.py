@@ -108,3 +108,14 @@ def test_zdict_update_and_tsv(setup, tmp_path):
     bro = broadcast_zdict(loaded, batch_size=3, dim=32)
     assert bro["instr_direction_features"].shape[0] == 3
     assert bro["instr_direction_pzs"].shape[-1] == 1
+
+
+def test_make_blip_vqa_missing_weights_message():
+    """The in-repo BLIP adapter surfaces a clear error when the local
+    snapshot is absent (no weights ship with the framework)."""
+    import pytest
+
+    from vln_goat_tpu.tools.do_utils import make_blip_vqa
+
+    with pytest.raises(RuntimeError, match="BLIP"):
+        make_blip_vqa("/nonexistent/blip-vqa-base")

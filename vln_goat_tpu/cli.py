@@ -104,6 +104,10 @@ def parse_args(argv=None):
     p.add_argument("--expl_max_ratio", type=float, default=0.6)
     p.add_argument("--cat_file", default=None,
                    help="category_mapping.tsv for the landmark word picker")
+    p.add_argument("--tokenizer_vocab", default=None,
+                   help="HF tokenizer vocab.json (token -> id); enables "
+                        "reference-exact subword alignment in the z-dict "
+                        "update (agent.py:778-799)")
     # multi-host (jax.distributed; replaces --world_size/NCCL)
     p.add_argument("--num_processes", type=int, default=1)
     p.add_argument("--process_id", type=int, default=0)
@@ -114,10 +118,11 @@ def parse_args(argv=None):
     p.add_argument("--log_every", type=int, default=1000)
     p.add_argument("--batch_size", type=int, default=12)
     p.add_argument("--lr", type=float, default=2e-5)
-    # dagger_fused = the same two-rollout DAgger update executed as ONE
-    # 2B-episode scan (teacher half + sample half; trainer.py) — identical
-    # semantics to 'dagger', roughly 2x step throughput on TPU
-    p.add_argument("--train_alg", default="dagger_fused",
+    # dagger (default): two rollouts per update; the teacher scan runs at
+    # the dataset's max gt length (loss-identical, ~25% fewer FLOPs).
+    # dagger_fused: both rollouts as ONE 2B-episode scan — same semantics,
+    # wins at small per-chip batch, loses the teacher-horizon cut.
+    p.add_argument("--train_alg", default="dagger",
                    choices=["imitation", "dagger", "dagger_fused"])
     p.add_argument("--remat", default="full",
                    choices=["full", "dots", "none"],
@@ -312,11 +317,19 @@ def build_runtime(args):
                          angle_feat_size=cfg.angle_feat_size)
     rollout = NavRollout(model, world, rcfg)
 
+    # pad gt paths to the datasets' true maximum (bounded by the horizon):
+    # a tight cap shrinks the batch arrays and lets the teacher-forced scan
+    # run at the shortest loss-identical horizon (make_train_step
+    # teacher_horizon); one cap across splits keeps one compiled shape
+    gt_cap = max((len(it["path"]) for data in splits.values()
+                  for it in data), default=2)
+    gt_cap = min(max(gt_cap, 2), cfg.max_action_len + 1)
+
     batchers = {
         name: EpisodeBatcher(
             data, graphs, scan_order, args.batch_size,
             max_instr_len=min(cfg.max_instr_len, 64 if args.synthetic else 512),
-            max_gt_len=cfg.max_action_len + 1,
+            max_gt_len=gt_cap,
             # EnvEdit alternation on the training envs only (r2r/env.py:78-84)
             env_edit=(name in ("train", "aug") and world.has_aug),
             seed=args.seed + i)
@@ -514,11 +527,16 @@ def train(args, rt):
                                      and aug_batcher is not None) else 1
     tx = make_optimizer(lr=args.lr, grad_clip=args.grad_clip,
                         accumulate_steps=accum)
+    # teacher-forced episodes end within max_gt_len steps — shorten that
+    # scan (loss-identical; trainer.py make_train_step docstring)
+    th = max((b.max_gt_len for k, b in rt["batchers"].items()
+              if k in ("train", "aug")), default=None)
     step_fn = jax.jit(make_train_step(
         rt["rollout"], tx, train_alg=args.train_alg,
         ml_weight=args.ml_weight,
         sample_feedback="expl_sample" if args.expl_sample else "sample",
-        expl_max_ratio=args.expl_max_ratio, remat=args.remat))
+        expl_max_ratio=args.expl_max_ratio, remat=args.remat,
+        teacher_horizon=th))
     state = init_train_state(rt["params"], tx)
     fused = args.train_alg == "dagger_fused"
 
@@ -723,13 +741,29 @@ def _update_zdict(args, rt, params, record_file):
     if not data or "instruction" not in data[0]:
         return
     picker = WordPicker(cat_file=args.cat_file)
-    # tokenizer-free fallback alignment: whitespace words, no continuations
-    # (exact subword alignment needs the HF tokenizer, available when the
-    # datasets are: data/annotations.py ships tokenized encodings)
+    if args.tokenizer_vocab:
+        # reference-exact harvest walk (agent.py:778-799): subword tokens
+        # from the encoding via the tokenizer vocab, '#'-prefix
+        # continuation rule (BERT '##...' skipped; RoBERTa 'Ġ...' tokens
+        # never match, reproducing the reference's roberta behavior)
+        import json as _json
+
+        from .tools.zdict import subword_tokens_of
+
+        with open(args.tokenizer_vocab, encoding="utf-8") as f:
+            vocab = _json.load(f)
+        id_to_token = {int(v): k for k, v in vocab.items()}
+        tokens_of = lambda d: subword_tokens_of(d["instr_encoding"],
+                                                id_to_token)
+        is_cont = lambda t: t.startswith("#")
+    else:
+        # tokenizer-free fallback: whitespace words, no continuations
+        tokens_of = lambda d: d["instruction"].split()
+        is_cont = lambda t: False
     zd, lm_f, dr_f, lm_pz, dr_pz = update_instr_zdict(
         rt["model"], params, data[:512], picker,
-        tokens_of=lambda d: d["instruction"].split(),
-        is_continuation=lambda t: False,
+        tokens_of=tokens_of,
+        is_continuation=is_cont,
         max_len=min(rt["cfg"].max_instr_len, 64))
     for k, v in zd["instr_zdict"].items():
         if len(v):

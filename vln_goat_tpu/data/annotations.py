@@ -19,6 +19,15 @@ def load_instr_datasets(anno_dir: str, dataset: str, splits: Sequence[str],
         if dataset == "rxr":
             path = os.path.join(anno_dir, f"rxr_{split}_guide_enc_xlmr.jsonl")
             data = [json.loads(line) for line in open(path)]
+        elif dataset == "soon":
+            # SOON pseudo-obj-label jsonl (the filename the reference's
+            # offline tooling reads, do_utils/do_intervention.py:343; the
+            # reference never shipped its soon/ env — this loader defines
+            # the schema our framework accepts: DUET-style items with
+            # `instructions` as dicts carrying 'full')
+            path = os.path.join(anno_dir,
+                                f"{split}_enc_pseudo_obj_label.jsonl")
+            data = [json.loads(line) for line in open(path)]
         else:
             name = {"r2r": "R2R", "reverie": "REVERIE"}[dataset]
             # reference filename scheme (data_utils.py:136-144)
@@ -68,6 +77,10 @@ def _expand_items(data: list, dataset: str, max_instr_len: int,
             ))
         else:
             for j, instr in enumerate(item.get("instructions", [""])):
+                if isinstance(instr, dict):
+                    # SOON: instruction entries are dicts; 'full' is the
+                    # complete instruction (do_intervention.py:166-170)
+                    instr = instr.get("full", "")
                 encs = item.get("instr_encodings", [[]] * (j + 1))
                 new = dict(
                     instr_id=f"{item['path_id']}_{j}",
@@ -80,6 +93,12 @@ def _expand_items(data: list, dataset: str, max_instr_len: int,
                     new["objId"] = item["objId"]
                     new["instr_id"] = \
                         f"{item['path_id']}_{item['objId']}_{j}"
+                elif "obj_pseudo_label" in item:
+                    # SOON pseudo object label: keep the object id for the
+                    # grounding head (use_obj_name=False preset)
+                    new["objId"] = item["obj_pseudo_label"].get("obj_id", 0)
+                    new["instr_id"] = \
+                        f"{item['path_id']}_{new['objId']}_{j}"
                 items.append(new)
     if for_debug:
         items = items[:50]

@@ -36,6 +36,27 @@ def _dense(features, name, dtype):
     return nn.Dense(features, name=name, dtype=dtype)
 
 
+class _ProjWeights(nn.Module):
+    """nn.Dense-compatible projection (same param tree <name>/{kernel,bias}
+    and init) that can also hand out its raw weights, so the fused Pallas
+    attention (ops/attention.pallas_fused_qkv_mha) can run the GEMM inside
+    the kernel."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, weights_only: bool = False):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k = kernel.astype(self.dtype)
+        b = bias.astype(self.dtype)
+        if weights_only:
+            return k, b
+        return x.astype(self.dtype) @ k + b
+
+
 class AttentionCore(nn.Module):
     """Scaled dot-product attention with q/k/v projections.
 
@@ -53,22 +74,31 @@ class AttentionCore(nn.Module):
     @nn.compact
     def __call__(self, q_in, kv_in, bias=None, deterministic=True):
         d = self.num_heads * self.head_dim
-        q = _dense(d, "query", self.dtype)(q_in)
-        k = _dense(d, "key", self.dtype)(kv_in)
-        v = _dense(d, "value", self.dtype)(kv_in)
+        qp = _ProjWeights(d, self.dtype, name="query")
+        kp = _ProjWeights(d, self.dtype, name="key")
+        vp = _ProjWeights(d, self.dtype, name="value")
 
+        if self.use_pallas and deterministic:
+            # fused q/k/v projections + attention in ONE kernel
+            # (attention-prob dropout needs the unfused path, so training
+            # keeps XLA)
+            from ..ops.attention import pallas_fused_qkv_mha
+
+            wq, bq = qp(q_in, weights_only=True)
+            wk, bk = kp(kv_in, weights_only=True)
+            wv, bv = vp(kv_in, weights_only=True)
+            return pallas_fused_qkv_mha(
+                q_in.astype(self.dtype), kv_in.astype(self.dtype),
+                wq, bq, wk, bk, wv, bv, bias, num_heads=self.num_heads)
+
+        q = qp(q_in)
+        k = kp(kv_in)
+        v = vp(kv_in)
         B, Lq = q.shape[0], q.shape[1]
         Lk = k.shape[1]
         q = q.reshape(B, Lq, self.num_heads, self.head_dim)
         k = k.reshape(B, Lk, self.num_heads, self.head_dim)
         v = v.reshape(B, Lk, self.num_heads, self.head_dim)
-
-        if self.use_pallas and deterministic:
-            # fused single-kernel attention (attention-prob dropout needs
-            # the unfused path, so training keeps XLA)
-            from ..ops.attention import pallas_mha
-
-            return pallas_mha(q, k, v, bias)
 
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(self.head_dim)
         if bias is not None:

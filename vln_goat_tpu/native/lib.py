@@ -140,3 +140,49 @@ def kmeans_lloyd(x: np.ndarray, centers: np.ndarray,
     lib.kmeans_lloyd(x.shape[0], x.shape[1], centers.shape[0], iters,
                      _ptr(x), _ptr(centers), _ptr(assign))
     return centers, assign
+
+
+_TB_MODES = {"none": 0, None: 0, "complete": 1, "complete_doc": 2,
+             "eos": 3}
+
+
+def token_block_slices(sizes: np.ndarray, block_size: int,
+                       break_mode: str = "none",
+                       document_sep_len: int = 1,
+                       block_multiple_min: int = 1,
+                       block_multiple_max: int = 1,
+                       block_sizes: Optional[np.ndarray] = None
+                       ) -> np.ndarray:
+    """Token-block slicing (fairseq token_block_utils_fast
+    _get_slice_indices_fast): -> [n_blocks, 2] int64 (start, end)."""
+    lib = _load()
+    assert lib is not None
+    lib.token_block_slices.restype = ctypes.c_int
+    s = np.ascontiguousarray(sizes, np.int64)
+    mode = _TB_MODES[break_mode]
+    bs_arr = (np.ascontiguousarray(block_sizes, np.int64)
+              if block_sizes is not None else None)
+    bs_ptr = _ptr(bs_arr) if bs_arr is not None else None
+    n = lib.token_block_slices(
+        len(s), _ptr(s), mode, ctypes.c_int64(block_size),
+        ctypes.c_int64(document_sep_len), block_multiple_min,
+        block_multiple_max, bs_ptr, None, 0)
+    out = np.empty((n, 2), np.int64)
+    lib.token_block_slices(
+        len(s), _ptr(s), mode, ctypes.c_int64(block_size),
+        ctypes.c_int64(document_sep_len), block_multiple_min,
+        block_multiple_max, bs_ptr, _ptr(out), n)
+    return out
+
+
+def block_to_dataset_index(sizes: np.ndarray,
+                           slices: np.ndarray) -> np.ndarray:
+    """(start_ds_idx, start_offset, end_ds_idx) per block
+    (_get_block_to_dataset_index_fast)."""
+    lib = _load()
+    assert lib is not None
+    s = np.ascontiguousarray(sizes, np.int64)
+    sl = np.ascontiguousarray(slices, np.int64)
+    out = np.empty((len(sl), 3), np.int64)
+    lib.block_to_dataset_index(len(s), _ptr(s), len(sl), _ptr(sl), _ptr(out))
+    return out

@@ -84,3 +84,96 @@ def pallas_mha(q, k, v, bias=None, interpret=None):
     if interpret is None:
         interpret = _default_interpret()
     return _pallas_mha_impl(q, k, v, bias, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Fused q/k/v projections + attention: one kernel per batch row.  Round-1
+# A/B showed the attention-only kernel losing end-to-end because the
+# pallas_call boundary stops XLA from fusing the projections and layout
+# changes into it (bench.py note); this variant moves the three GEMMs and
+# the head split/merge inside, so the [L, 3D] projections, the score
+# tensor, and the head-merged context never round-trip HBM.
+
+
+def _fused_qkv_kernel(x_ref, y_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+                      wv_ref, bv_ref, bias_ref, o_ref, *, H, dh, scale):
+    x = x_ref[0]                                   # [Lq, D]
+    y = y_ref[0]                                   # [Lk, D]
+    Lq, Lk = x.shape[0], y.shape[0]
+    q = jnp.dot(x, wq_ref[:],
+                preferred_element_type=jnp.float32) + bq_ref[:]
+    k = jnp.dot(y, wk_ref[:],
+                preferred_element_type=jnp.float32) + bk_ref[:]
+    v = jnp.dot(y, wv_ref[:],
+                preferred_element_type=jnp.float32) + bv_ref[:]
+    q = q.reshape(Lq, H, dh).transpose(1, 0, 2)    # [H, Lq, dh]
+    k = k.reshape(Lk, H, dh).transpose(1, 0, 2)
+    v = v.reshape(Lk, H, dh).transpose(1, 0, 2)
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32) * scale
+    if bias_ref is not None:
+        s = s + bias_ref[0].astype(jnp.float32)    # [Hb, Lq, Lk], Hb in {1,H}
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = o.transpose(1, 0, 2).reshape(Lq, H * dh).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "interpret"))
+def _fused_qkv_mha_impl(x, y, wq, bq, wk, bk, wv, bv, bias=None,
+                        num_heads: int = 12, interpret: bool = False):
+    B, Lq, D = x.shape
+    Lk = y.shape[1]
+    H = num_heads
+    dh = wq.shape[1] // H
+    in_specs = [
+        pl.BlockSpec((1, Lq, D), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, Lk, D), lambda i: (i, 0, 0)),
+        pl.BlockSpec(wq.shape, lambda i: (0, 0)),
+        pl.BlockSpec(bq.shape, lambda i: (0,)),
+        pl.BlockSpec(wk.shape, lambda i: (0, 0)),
+        pl.BlockSpec(bk.shape, lambda i: (0,)),
+        pl.BlockSpec(wv.shape, lambda i: (0, 0)),
+        pl.BlockSpec(bv.shape, lambda i: (0,)),
+    ]
+    args = [x, y, wq, bq, wk, bk, wv, bv]
+    scale = 1.0 / math.sqrt(dh)
+    if bias is not None:
+        # keep a singleton head dim when the mask is head-independent (the
+        # common padding-mask / sprel case) so the HBM block stays small
+        Hb = H if (bias.ndim == 4 and bias.shape[1] == H) else 1
+        bias = jnp.broadcast_to(bias, (B, Hb, Lq, Lk))
+        in_specs.append(pl.BlockSpec((1, Hb, Lq, Lk),
+                                     lambda i: (i, 0, 0, 0)))
+        args.append(bias)
+        kernel = functools.partial(_fused_qkv_kernel, H=H, dh=dh,
+                                   scale=scale)
+    else:
+        kernel = functools.partial(
+            lambda xr, yr, wqr, bqr, wkr, bkr, wvr, bvr, orf, H, dh, scale:
+            _fused_qkv_kernel(xr, yr, wqr, bqr, wkr, bkr, wvr, bvr, None,
+                              orf, H=H, dh=dh, scale=scale),
+            H=H, dh=dh, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, Lq, H * dh), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Lq, H * dh), x.dtype),
+        interpret=interpret,
+    )(*args)
+    return out
+
+
+def pallas_fused_qkv_mha(x, y, wq, bq, wk, bk, wv, bv, bias=None,
+                         num_heads: int = 12, interpret=None):
+    """x [B, Lq, D] (query side), y [B, Lk, D] (key/value side), projection
+    weights [D, H*dh] (+ biases), additive mask broadcastable to
+    [B, {1,H}, {1,Lq}, Lk] -> [B, Lq, H*dh]."""
+    if interpret is None:
+        interpret = _default_interpret()
+    return _fused_qkv_mha_impl(x, y, wq, bq, wk, bk, wv, bv, bias,
+                               num_heads=num_heads, interpret=interpret)

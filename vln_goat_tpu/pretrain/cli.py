@@ -32,6 +32,10 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--anno_dir", default=None)
     p.add_argument("--img_ft_file", default=None)
+    p.add_argument("--aug_img_ft_file", default=None,
+                   help="EnvEdit augmented features; when set, each example "
+                        "samples original/augmented 50/50 "
+                        "(pretrain dataset.py:226-233)")
     p.add_argument("--connectivity_dir", default=None)
     p.add_argument("--tasks", nargs="+", default=["mlm", "sap", "cfp"])
     p.add_argument("--mix_ratio", nargs="+", type=int, default=[1, 1, 1])
@@ -93,6 +97,7 @@ def build(args):
             "val_unseen": make_synthetic_dataset(graphs, 16, cfg.vocab_size,
                                                  path_len=(3, 6), seed=3),
         }
+        aug_feats = None
     else:
         from ..data.annotations import construct_instrs
         from ..data.feature_db import ImageFeaturesDB
@@ -104,6 +109,12 @@ def build(args):
         graphs = load_connectivity(args.connectivity_dir, scan_ids)
         feats = ImageFeaturesDB(args.img_ft_file, cfg.image_feat_size) \
             .as_packed_array(graphs, scan_ids)
+        aug_feats = None
+        if getattr(args, "aug_img_ft_file", None):
+            # EnvEdit 50/50 feature alternation (dataset.py:226-233)
+            aug_feats = ImageFeaturesDB(
+                args.aug_img_ft_file, cfg.image_feat_size) \
+                .as_packed_array(graphs, scan_ids)
 
     order = list(graphs)
     shapes = PretrainShapes(max_txt_len=args.max_txt_len,
@@ -111,7 +122,8 @@ def build(args):
                             max_gmap=args.max_gmap,
                             mrc_prob_dim=1000)
     builder = TrajBatchBuilder(graphs, order, feats, shapes,
-                               vocab_size=cfg.vocab_size, seed=args.seed)
+                               vocab_size=cfg.vocab_size,
+                               aug_features=aug_feats, seed=args.seed)
     items = {k: items_from_dataset(v, graphs) for k, v in data.items()}
     model = GoatPretrainModel(cfg, tasks=tuple(args.tasks),
                               image_prob_size=1000)

@@ -58,6 +58,7 @@ class TrajBatchBuilder:
                  mask_token_id: Optional[int] = None, vocab_size: int = 50265,
                  mlm_prob: float = 0.15, mrc_prob: float = 0.15,
                  objnav: bool = False, zdicts: Optional[dict] = None,
+                 aug_features: Optional[np.ndarray] = None,
                  seed: int = 0):
         self.graphs = scan_graphs
         self.scan_order = list(scan_order)
@@ -68,6 +69,10 @@ class TrajBatchBuilder:
             total += scan_graphs[s].num_vps
         self.offsets = offs
         self.features = features          # [Vtot, 36, Df]
+        # EnvEdit augmented features, sampled 50/50 per example
+        # (pretrain_src/data/dataset.py:226-233)
+        self.aug_features = aug_features
+        self._use_aug_now = False
         self.view_probs = view_probs      # [Vtot, 36, P] or None
         self.sh = shapes
         self.afs = angle_feat_size
@@ -91,7 +96,10 @@ class TrajBatchBuilder:
 
     # ------------------------------------------------------------------
     def _feat(self, scan: str, vp: int) -> np.ndarray:
-        return self.features[self.offsets[scan] + vp]
+        src = self.features
+        if self._use_aug_now and self.aug_features is not None:
+            src = self.aug_features
+        return src[self.offsets[scan] + vp]
 
     def _probs(self, scan: str, vp: int) -> np.ndarray:
         if self.view_probs is not None:
@@ -151,6 +159,10 @@ class TrajBatchBuilder:
 
     # ------------------------------------------------------------------
     def build_one(self, item: dict, end_vp_type: str = "pos") -> dict:
+        # EnvEdit feature alternation: 50/50 original vs augmented features
+        # per EXAMPLE (pretrain_src/data/dataset.py:226-233)
+        self._use_aug_now = (self.aug_features is not None
+                             and self.rng.random() < 0.5)
         sh = self.sh
         scan = item["scan"]
         g = self.graphs[scan]

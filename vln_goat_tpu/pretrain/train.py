@@ -64,10 +64,13 @@ def make_pretrain_optimizer(cfg: PretrainConfig):
             return name not in ("bias", "scale")
         return jax.tree_util.tree_map_with_path(f, params)
 
+    from .optimizers import build_optimizer
+
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_norm),
-        optax.adamw(sched, b1=cfg.betas[0], b2=cfg.betas[1], eps=1e-8,
-                    weight_decay=cfg.weight_decay, mask=decay_mask),
+        build_optimizer(cfg.optim, sched, b1=cfg.betas[0], b2=cfg.betas[1],
+                        eps=1e-8, weight_decay=cfg.weight_decay,
+                        decay_mask=decay_mask),
     )
 
 

@@ -501,7 +501,7 @@ class NavRollout:
                       expl_max_ratio: float = 0.6,
                       sample_feedback: str = "sample",
                       remat: str = "full", record_logits: bool = False,
-                      exit_chunk: int = 5):
+                      exit_chunk: int = 0):
         """Returns rollout(params, batch, rng) -> outputs dict.  `feedback`
         in {teacher, sample, argmax, expl_sample, fused_dagger}
         (agent.py:624-647).
@@ -524,8 +524,11 @@ class NavRollout:
         each wrapped in lax.cond(any episode still active) — the
         static-shape analogue of the reference's `if ended.all(): break`
         (agent.py:693-694): once every episode has stopped, remaining
-        chunks skip all model compute (forward AND backward).  0 disables
-        chunking (single scan over the full horizon)."""
+        chunks skip all model compute (forward AND backward).  0 (default)
+        disables chunking: the skip only fires when the WHOLE batch has
+        ended, which is rare at production batch sizes (measured: no win at
+        B>=32 on v5e, while compile time of the chunked graph ~doubles) —
+        enable for small-batch runs that mirror the reference's B=12."""
         model, w, r, c = self.model, self.world, self.rcfg, self.mcfg
 
         def apply(params, rng, method, *args, **kw):

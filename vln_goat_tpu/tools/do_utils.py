@@ -48,6 +48,42 @@ def extract_room_types(scan_vps: Sequence[tuple],
                         "roomtypes": ",".join(answers)})
 
 
+def make_blip_vqa(model_path: str, device: str = "cpu"
+                  ) -> Callable[[np.ndarray, str], str]:
+    """In-repo BLIP-VQA adapter (extract_room_type.py:77,96-100
+    build_feature_extractor + generate): loads BlipForQuestionAnswering +
+    BlipProcessor from a LOCAL path (e.g. a downloaded
+    Salesforce/blip-vqa-base snapshot — this framework ships no weights)
+    and returns the vqa_fn plugged into extract_room_types.  Raises
+    RuntimeError with a clear message when transformers/torch or the
+    weights are absent."""
+    try:
+        import torch
+        from transformers import BlipForQuestionAnswering, BlipProcessor
+    except Exception as e:  # pragma: no cover - env without torch
+        raise RuntimeError(f"BLIP-VQA needs torch+transformers: {e}")
+    try:
+        processor = BlipProcessor.from_pretrained(model_path)
+        model = BlipForQuestionAnswering.from_pretrained(model_path)
+    except Exception as e:
+        raise RuntimeError(
+            f"BLIP weights not loadable from {model_path!r} "
+            f"(download Salesforce/blip-vqa-base there): {e}")
+    model = model.to(device).eval()
+
+    def vqa_fn(image: np.ndarray, question: str) -> str:
+        from PIL import Image
+
+        with torch.no_grad():
+            pil = Image.fromarray(np.asarray(image, np.uint8))
+            inputs = processor(images=pil, text=question,
+                               return_tensors="pt").to(device)
+            out = model.generate(**inputs)
+        return processor.decode(out[0], skip_special_tokens=True)
+
+    return vqa_fn
+
+
 def load_room_types(tsv_path: str) -> Dict[tuple, List[str]]:
     out = {}
     with open(tsv_path) as f:

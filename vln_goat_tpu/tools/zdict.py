@@ -51,9 +51,40 @@ FALLBACK_LANDMARKS = [
 ]
 
 
+def _lemma(word: str) -> str:
+    """WordNet-free noun lemmatization (the reference uses
+    nltk WordNetLemmatizer, utils/data.py:214 — unavailable offline):
+    standard English plural stripping, which is all the lemmatizer does
+    for the Matterport category nouns."""
+    if len(word) > 3 and word.endswith("ies"):
+        return word[:-3] + "y"
+    if len(word) > 3 and word.endswith(("ches", "shes", "sses", "xes",
+                                        "zes")):
+        return word[:-2]
+    if len(word) > 2 and word.endswith("s") and not word.endswith("ss"):
+        return word[:-1]
+    return word
+
+
+def word_tokenize(instr: str) -> List[str]:
+    """spaCy-like word tokenization (words and punctuation as separate
+    tokens) — the index space of PickSpecificWords (utils/data.py:263-288
+    iterates spaCy doc tokens).  Divergence from spaCy: no exceptions
+    table (e.g. "don't" splits as don/'/t, spaCy gives do/n't)."""
+    return re.findall(r"\w+|[^\w\s]", instr)
+
+
 class WordPicker:
-    """pick_action_object_words_with_index equivalent: returns
-    [(whitespace-token index, key), ...] for landmarks and directions."""
+    """pick_action_object_words_with_index equivalent
+    (utils/data.py:263-288): returns [(token index, key), ...] where
+    landmark keys are CATEGORY names (source noun mapped through
+    category_mapping.tsv) and direction keys are the matched word; indices
+    are over word_tokenize(instr).
+
+    spaCy is unavailable in this image, so the reference's NOUN-POS filter
+    is replaced by a gazetteer: any token whose lemma appears in the
+    category mapping counts as a landmark.  Divergence: verb/noun homonyms
+    that happen to be category sources are picked regardless of usage."""
 
     def __init__(self, cat_file: Optional[str] = None):
         self.landmark_map: Dict[str, str] = {}
@@ -71,17 +102,30 @@ class WordPicker:
     def pick(self, instr: str) -> Tuple[List[Tuple[int, str]],
                                         List[Tuple[int, str]]]:
         landmarks, directions = [], []
-        for i, raw in enumerate(instr.split()):
-            w = re.sub(r"[^\w\s]", "", raw.lower())
-            if not w:
-                continue
-            base = w[:-1] if w.endswith("s") and w[:-1] in self.landmark_map \
-                else w
-            if base in self.landmark_map:
-                landmarks.append((i, self.landmark_map[base]))
-            if w in self.direction_set:
-                directions.append((i, w))
+        for i, raw in enumerate(word_tokenize(instr)):
+            low = raw.lower()
+            # landmark normalization chain (utils/data.py:211-215):
+            # strip punctuation, lemmatize, drop digits
+            name = re.sub(r"[^\w\s]", " ", low).strip()
+            name = _lemma(name)
+            name = "".join(c for c in name if not c.isdigit())
+            if name in self.landmark_map:
+                cat = self.landmark_map[name]
+                landmarks.append((i, cat))
+            # direction match is on the raw lowered token (:256)
+            if low in self.direction_set:
+                directions.append((i, low))
         return landmarks, directions
+
+
+def subword_tokens_of(enc: Sequence[int], id_to_token: Dict[int, str],
+                      special_ids: Sequence[int] = (0, 1, 2)) -> List[str]:
+    """convert_ids_to_tokens(enc, skip_special_tokens=True) from a plain
+    id->token vocab (agent.py:781): the walk space of the reference's
+    embedding harvest.  Position j in the returned list corresponds to
+    row j+1 of the language-tower output (one leading special token)."""
+    sp = set(special_ids)
+    return [id_to_token[int(t)] for t in enc if int(t) not in sp]
 
 
 def align_word_embeddings(

@@ -72,7 +72,8 @@ def make_optimizer(lr: float = 2e-5, weight_decay: float = 0.01,
 def make_train_step(rollout: NavRollout, tx,
                     train_alg: str = "dagger", ml_weight: float = 0.2,
                     sample_feedback: str = "sample",
-                    expl_max_ratio: float = 0.6, remat: str = "full"):
+                    expl_max_ratio: float = 0.6, remat: str = "full",
+                    teacher_horizon: Optional[int] = None):
     """sample_feedback='expl_sample' replicates --expl_sample runs
     (agent.py:436).
 
@@ -82,9 +83,23 @@ def make_train_step(rollout: NavRollout, tx,
     rollout, agent_base.py:154-203), so the fused batch is simply both
     minibatches concatenated with batch['is_teacher'] marking the
     teacher-forced half.  Each half's summed CE is divided by its own
-    half-size, exactly like the two separate rollouts."""
-    teacher_fn = rollout.build_rollout("teacher", train_ml=True,
-                                      deterministic=False, remat=remat)
+    half-size, exactly like the two separate rollouts.
+
+    teacher_horizon: scan length for the teacher-forced rollout
+    ('imitation' / 'dagger' algs).  Teacher episodes deterministically end
+    once the gt path is exhausted (<= max_gt_len steps: last hop arrives,
+    next step emits stop), so a horizon of the batcher's max_gt_len is
+    loss-identical to the full horizon while skipping the dead tail of the
+    scan.  None keeps the rollout's configured horizon."""
+    import dataclasses as _dc
+
+    t_ro = rollout
+    if teacher_horizon is not None and teacher_horizon < rollout.rcfg.horizon:
+        t_ro = NavRollout(rollout.model, rollout.world,
+                          _dc.replace(rollout.rcfg,
+                                      horizon=teacher_horizon))
+    teacher_fn = t_ro.build_rollout("teacher", train_ml=True,
+                                    deterministic=False, remat=remat)
     sample_fn = rollout.build_rollout(sample_feedback, train_ml=True,
                                      deterministic=False,
                                      expl_max_ratio=expl_max_ratio,
