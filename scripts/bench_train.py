@@ -13,6 +13,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("GOAT_PRNG"):
+    # 'rbg' is ~an order of magnitude cheaper than threefry on TPU for the
+    # per-step dropout masks (the rollout regenerates them in the remat
+    # backward too)
+    jax.config.update("jax_default_prng_impl", os.environ["GOAT_PRNG"])
 import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -30,7 +36,9 @@ def build(B, alg, remat, bf16, num_nodes=48):
     from vln_goat_tpu.train.params import init_goat_params
     from vln_goat_tpu.train import trainer as TR
 
-    cfg = GoatConfig.for_dataset("r2r")
+    cfg = GoatConfig.for_dataset(
+        "r2r",
+        use_pallas_attention=os.environ.get("GOAT_PALLAS", "0") == "1")
     rcfg = RolloutConfig(num_nodes=num_nodes, horizon=15, feat_dim=768)
     scans = [make_synthetic_scan(f"s{i}", num_vps=120, degree=4, seed=i)
              for i in range(4)]

@@ -140,3 +140,30 @@ def test_train_step_dagger_fused(tiny):
     leaf0 = jax.tree_util.tree_leaves(state.params)[0]
     leaf1 = jax.tree_util.tree_leaves(state2.params)[0]
     assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
+
+
+@pytest.mark.parametrize("remat", ["bounds", "ffn", "dots"])
+def test_remat_policies_loss_identical(tiny, remat):
+    """Every remat policy computes the same loss and gradients as
+    remat='full' — policies change what is SAVED for the backward, never
+    the math (rollout.build_rollout remat modes)."""
+    ro, params, batcher = tiny["ro"], tiny["params"], tiny["batcher"]
+    _, b = batcher.next_batch()
+    rng = jax.random.PRNGKey(11)
+
+    def loss_with(remat):
+        fn = ro.build_rollout("teacher", train_ml=True, deterministic=True,
+                              remat=remat)
+        def loss(p):
+            return fn(p, b, rng)["ml_loss"]
+        val, grad = jax.value_and_grad(loss)(params)
+        gn = jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(x.astype(jnp.float64) ** 2)
+            if jnp.issubdtype(x.dtype, jnp.floating) else a,
+            grad, jnp.zeros((), jnp.float64))
+        return float(val), float(gn)
+
+    v_full, g_full = loss_with("full")
+    v_pol, g_pol = loss_with(remat)
+    np.testing.assert_allclose(v_pol, v_full, rtol=1e-6)
+    np.testing.assert_allclose(g_pol, g_full, rtol=1e-5)

@@ -23,6 +23,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name as _ckpt_name
 from flax import linen as nn
 
 from ..config import GoatConfig
@@ -78,18 +79,28 @@ class AttentionCore(nn.Module):
         kp = _ProjWeights(d, self.dtype, name="key")
         vp = _ProjWeights(d, self.dtype, name="value")
 
-        if self.use_pallas and deterministic:
-            # fused q/k/v projections + attention in ONE kernel
-            # (attention-prob dropout needs the unfused path, so training
-            # keeps XLA)
-            from ..ops.attention import pallas_fused_qkv_mha
+        if self.use_pallas:
+            from ..ops.attention import _default_interpret, \
+                pallas_fused_qkv_mha
 
-            wq, bq = qp(q_in, weights_only=True)
-            wk, bk = kp(kv_in, weights_only=True)
-            wv, bv = vp(kv_in, weights_only=True)
-            return pallas_fused_qkv_mha(
-                q_in.astype(self.dtype), kv_in.astype(self.dtype),
-                wq, bq, wk, bk, wv, bv, bias, num_heads=self.num_heads)
+            # training path needs attention-prob dropout: available
+            # in-kernel on real TPU (pltpu PRNG); in interpret mode
+            # (CPU tests) fall back to the XLA path instead
+            needs_drop = not deterministic and self.dropout_rate > 0.0
+            if not needs_drop or not _default_interpret():
+                seed, rate = None, 0.0
+                if needs_drop:
+                    rate = self.dropout_rate
+                    seed = jax.random.randint(
+                        self.make_rng("dropout"), (q_in.shape[0],),
+                        0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+                wq, bq = qp(q_in, weights_only=True)
+                wk, bk = kp(kv_in, weights_only=True)
+                wv, bv = vp(kv_in, weights_only=True)
+                return pallas_fused_qkv_mha(
+                    q_in.astype(self.dtype), kv_in.astype(self.dtype),
+                    wq, bq, wk, bk, wv, bv, bias,
+                    num_heads=self.num_heads, dropout_rate=rate, seed=seed)
 
         q = qp(q_in)
         k = kp(kv_in)
@@ -119,7 +130,8 @@ class BertSelfOutput(nn.Module):
         h = _dense(c.hidden_size, "dense", self.dtype)(hidden)
         h = nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="LayerNorm", dtype=self.dtype)(h + residual)
-        return h
+        # layer-boundary tensor: the only thing remat='bounds' saves
+        return _ckpt_name(h, "blk")
 
 
 class BertAttention(nn.Module):
@@ -148,7 +160,11 @@ class BertIntermediate(nn.Module):
     def __call__(self, hidden):
         c = self.config
         h = _dense(c.intermediate_size, "dense", self.dtype)(hidden)
-        return ACT2FN[c.hidden_act](h)
+        # named so remat='ffn' (rollout.build_rollout) can exclude the
+        # 4x-wide tensors from the saved set and recompute only these
+        h = _ckpt_name(h, "ffn_wide")
+        return _ckpt_name(ACT2FN[c.hidden_act](h),
+                                                 "ffn_wide")
 
 
 class BertOutput(nn.Module):
@@ -161,7 +177,8 @@ class BertOutput(nn.Module):
         h = _dense(c.hidden_size, "dense", self.dtype)(hidden)
         h = nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="LayerNorm", dtype=self.dtype)(h + residual)
-        return h
+        # layer-boundary tensor: the only thing remat='bounds' saves
+        return _ckpt_name(h, "blk")
 
 
 class BertLayer(nn.Module):
@@ -275,8 +292,11 @@ class PanoEncoderLayer(nn.Module):
         src = src + nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
         h = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=self.dtype)(src)
         h = _dense(c.intermediate_size, "linear1", self.dtype)(h)
-        h = ACT2FN[c.hidden_act](h)
+        h = _ckpt_name(h, "ffn_wide")
+        h = _ckpt_name(ACT2FN[c.hidden_act](h),
+                                              "ffn_wide")
         h = nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
+        h = _ckpt_name(h, "ffn_wide")
         h = _dense(c.hidden_size, "linear2", self.dtype)(h)
         src = src + nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
         return src

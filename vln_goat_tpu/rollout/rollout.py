@@ -806,6 +806,23 @@ class NavRollout:
                     step_fn = jax.checkpoint(
                         step, policy=jax.checkpoint_policies
                         .dots_with_no_batch_dims_saveable)
+                elif remat == "ffn":
+                    # save every step intermediate EXCEPT the 4x-wide FFN
+                    # tensors (named "ffn_wide" in models/layers.py).
+                    # Measured: still OOMs at B=64 (~41G) — kept for
+                    # small-batch experiments; prefer 'bounds'.
+                    step_fn = jax.checkpoint(
+                        step, policy=jax.checkpoint_policies
+                        .save_anything_except_these_names("ffn_wide"))
+                elif remat == "bounds":
+                    # save ONLY the transformer layer-boundary tensors
+                    # (named "blk": post-LN outputs, [*, 768] — a few MB
+                    # per step) and recompute everything else within the
+                    # layer in the backward: ~60% of the full-remat
+                    # recompute skipped at ~3GB of saved activations
+                    step_fn = jax.checkpoint(
+                        step, policy=jax.checkpoint_policies
+                        .save_only_these_names("blk"))
                 elif remat == "none":
                     step_fn = step
                 else:
