@@ -39,21 +39,15 @@ def test_pallas_mha_matches_xla(rng, Lq, Lk, bias_kind):
                                rtol=1e-4)
 
 
-def test_model_with_pallas_flag_matches_plain(rng):
+def test_model_with_pallas_flag_matches_plain(rng, monkeypatch):
     """GoatModel(use_pallas_attention=True) must produce identical text
-    embeddings in interpret/CPU mode."""
+    embeddings in interpret/CPU mode (the fused-qkv kernel path; the
+    Lq gate is lowered so the 10-token test sequence still uses it)."""
     from vln_goat_tpu.config import GoatConfig
     from vln_goat_tpu.models.goat import GoatModel
-    import vln_goat_tpu.ops.attention as A
 
-    # route the flag through interpret mode on CPU
-    orig = A.pallas_mha
-
-    def interp(q, k, v, bias=None, interpret=False):
-        return orig(q, k, v, bias, interpret=True)
-
-    A.pallas_mha = interp
-    try:
+    monkeypatch.setenv("GOAT_PALLAS_MIN_LQ", "1")
+    if True:
         kw = dict(num_l_layers=1, num_x_layers=1, num_pano_layers=1,
                   hidden_size=32, num_attention_heads=2, intermediate_size=64,
                   vocab_size=64, max_position_embeddings=64,
@@ -69,8 +63,6 @@ def test_model_with_pallas_flag_matches_plain(rng):
         o1 = m1.apply(var, ids, mask, method=GoatModel.forward_text)
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o0), atol=2e-5,
                                    rtol=1e-4)
-    finally:
-        A.pallas_mha = orig
 
 
 @pytest.mark.parametrize("Lq,Lk,bias_kind", [

@@ -19,6 +19,7 @@ switchable to bfloat16 (params stay fp32).
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Callable, Optional
 
 import jax
@@ -79,7 +80,11 @@ class AttentionCore(nn.Module):
         kp = _ProjWeights(d, self.dtype, name="key")
         vp = _ProjWeights(d, self.dtype, name="value")
 
-        if self.use_pallas:
+        # the fused kernel wins for mid-size query blocks (pano 52,
+        # gmap 50) and loses for tiny ones (local branch 18) where XLA's
+        # flattened [B*L, D] GEMMs are already efficient — gate by Lq
+        min_lq = int(os.environ.get("GOAT_PALLAS_MIN_LQ", "32"))
+        if self.use_pallas and q_in.shape[1] >= min_lq:
             from ..ops.attention import _default_interpret, \
                 pallas_fused_qkv_mha
 
