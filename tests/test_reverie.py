@@ -34,6 +34,7 @@ def setup():
     objects = dict(
         feat=rng.standard_normal((vtot, LO, 12)).astype(np.float32),
         loc=rng.standard_normal((vtot, LO, 7)).astype(np.float32),
+        dir=rng.uniform(-np.pi, np.pi, (vtot, LO, 2)).astype(np.float32),
         mask=rng.random((vtot, LO)) < 0.8,
         name=rng.integers(0, 45, (vtot, LO)),
         oid=np.arange(vtot * LO).reshape(vtot, LO),
@@ -97,3 +98,44 @@ def test_reverie_metrics(setup):
     assert agg["sr"] == 50.0
     assert agg["rgs"] == 50.0
     assert agg["rgspl"] <= agg["spl"] + 1e-9
+
+
+def test_object_angles_are_camera_relative(setup):
+    """Object angle features must be recomputed per step relative to the
+    agent camera (reverie/data_utils.py:90-93: angle_feature(obj_ang -
+    base_heading, obj_ang_e - base_elevation)), not baked at heading 0."""
+    import jax.numpy as jnp
+
+    from vln_goat_tpu.core import geometry as G
+
+    ro, world = setup["ro"], setup["world"]
+    B = 2
+    st = ro.init_state(
+        dict(scan_idx=jnp.zeros((B,), jnp.int32),
+             start_vp=jnp.asarray([0, 1], jnp.int32),
+             gt_path=jnp.zeros((B, 4), jnp.int32),
+             gt_len=jnp.full((B,), 2, jnp.int32),
+             start_view=jnp.zeros((B,), jnp.int32),
+             goal_vp=jnp.zeros((B,), jnp.int32)),
+        need_dtw=False)
+    # two different camera states at the same viewpoints
+    for vi in (0, 17):
+        st_v = {**st, "view_ix": jnp.full((B,), vi, jnp.int32)}
+        pano = ro._pano_inputs(
+            st_v, dict(scan_idx=jnp.zeros((B,), jnp.int32),
+                       use_aug=None))
+        K = pano["cands"]["local"].shape[1]
+        Lo = setup["objects"]["feat"].shape[1]
+        obj_loc = np.asarray(pano["loc"])[:, -Lo:]
+        cam_h = np.asarray(pano["cam_h"])
+        cam_e = np.asarray(pano["cam_e"])
+        dirs = setup["objects"]["dir"][[0, 1]]     # start vps 0 and 1
+        A = 4
+        want = np.asarray(G.angle_feature_jnp(
+            jnp.asarray(dirs[..., 0] - cam_h[:, None]),
+            jnp.asarray(dirs[..., 1] - cam_e[:, None]), A))
+        np.testing.assert_allclose(obj_loc[..., :A], want, atol=1e-5)
+        # box features stay camera-independent
+        np.testing.assert_allclose(
+            obj_loc[..., A:], setup["objects"]["loc"][[0, 1]][..., A:],
+            atol=1e-6)

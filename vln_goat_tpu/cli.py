@@ -200,6 +200,8 @@ def build_runtime(args):
                     (vtot, Lo, cfg.obj_feat_size)).astype(np.float32),
                 loc=orng.standard_normal(
                     (vtot, Lo, cfg.angle_feat_size + 3)).astype(np.float32),
+                dir=orng.uniform(-np.pi, np.pi,
+                                 (vtot, Lo, 2)).astype(np.float32),
                 mask=orng.random((vtot, Lo)) < 0.8,
                 name=orng.integers(0, cfg.obj_name_vocab_size, (vtot, Lo)),
                 oid=np.arange(vtot * Lo).reshape(vtot, Lo),

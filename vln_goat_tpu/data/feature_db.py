@@ -100,6 +100,10 @@ class ObjectFeaturesDB:
         out = dict(
             feat=np.zeros((vtot, Lo, self.dim), np.float32),
             loc=np.zeros((vtot, Lo, self.afs + 3), np.float32),
+            # raw absolute (heading, elevation) per object: the rollout
+            # recomputes camera-relative angle features each step
+            # (reverie/data_utils.py:90-93 obj_ang - base_heading)
+            dir=np.zeros((vtot, Lo, 2), np.float32),
             mask=np.zeros((vtot, Lo), bool),
             name=np.zeros((vtot, Lo), np.int32),
             oid=np.full((vtot, Lo), -1, np.int32),
@@ -121,6 +125,7 @@ class ObjectFeaturesDB:
                                                np.zeros((n, 2))))[:n]
                     out["loc"][row, :n, :self.afs] = angle_feature_np(
                         dirs[:, 0], dirs[:, 1], self.afs)
+                    out["dir"][row, :n] = dirs
                     # box fts [h/H, w/W, hw/HW] (dataset.py:485-487)
                     out["loc"][row, :n, self.afs + 0] = sizes[:, 1] / self.image_h
                     out["loc"][row, :n, self.afs + 1] = sizes[:, 0] / self.image_w

@@ -280,7 +280,18 @@ class NavRollout:
             # REVERIE object tokens (reverie/env.py:452-457 obs assembly)
             objs = w.get_objs(scan, cur_vp)
             Lo = objs["feat"].shape[1]
-            loc = jnp.concatenate([loc, objs["loc"]], axis=1)
+            obj_loc = objs["loc"]
+            if objs.get("dir") is not None:
+                # camera-relative object angles, recomputed per step like
+                # the reference (reverie/data_utils.py:90-93:
+                # angle_feature(obj_ang - base_heading, ...)); the stored
+                # loc keeps only the box features
+                A = r.angle_feat_size
+                oang = G.angle_feature_jnp(
+                    objs["dir"][..., 0] - cam_h[:, None],
+                    objs["dir"][..., 1] - cam_e[:, None], A)
+                obj_loc = jnp.concatenate([oang, obj_loc[..., A:]], axis=-1)
+            loc = jnp.concatenate([loc, obj_loc], axis=1)
             nav_types = jnp.concatenate(
                 [nav_types, jnp.full((B, Lo), 2, jnp.int32)], axis=1)
         return dict(img=img, loc=loc, nav_types=nav_types, mask=view_mask,

@@ -49,6 +49,7 @@ class NavWorld:
     # objects (REVERIE/SOON; zero-width when absent)
     obj_feat: jnp.ndarray = None     # [Vtot, Lo, Dobj]
     obj_loc: jnp.ndarray = None      # [Vtot, Lo, A+3] (angle + box fts)
+    obj_dir: jnp.ndarray = None      # [Vtot, Lo, 2] absolute (heading, elev)
     obj_mask: jnp.ndarray = None     # [Vtot, Lo]
     obj_name: jnp.ndarray = None     # [Vtot, Lo] i32 category id
     obj_id: jnp.ndarray = None       # [Vtot, Lo] i32 dataset object id
@@ -60,7 +61,7 @@ class NavWorld:
                   self.cand_elev, self.cand_dist, self.cand_mask, self.dist,
                   self.hops, self.nexthop, self.n_vps, self.vp_offset,
                   self.feat, self.feat_aug, self.obj_feat, self.obj_loc,
-                  self.obj_mask, self.obj_name, self.obj_id)
+                  self.obj_dir, self.obj_mask, self.obj_name, self.obj_id)
         return leaves, None
 
     @classmethod
@@ -87,7 +88,9 @@ class NavWorld:
     def get_objs(self, scan, vp):
         """Object tables for (scan, vp): each [B, Lo, ...]."""
         g = self.vp_offset[scan] + vp
+        d = self.obj_dir[g]
         return dict(feat=self.obj_feat[g], loc=self.obj_loc[g],
+                    dir=d if d.shape[1] else None,
                     mask=self.obj_mask[g], name=self.obj_name[g],
                     oid=self.obj_id[g])
 
@@ -147,6 +150,11 @@ class NavWorld:
             obj_kw = dict(
                 obj_feat=jnp.asarray(objects["feat"], feat_dtype),
                 obj_loc=jnp.asarray(objects["loc"]),
+                # zero-width when the caller has no raw directions (legacy
+                # static-loc convention); see tree_flatten NOTE on None
+                obj_dir=(jnp.asarray(objects["dir"], jnp.float32)
+                         if objects.get("dir") is not None
+                         else jnp.zeros((vtot, 0, 2))),
                 obj_mask=jnp.asarray(objects["mask"]),
                 obj_name=jnp.asarray(objects["name"], jnp.int32),
                 obj_id=jnp.asarray(objects["oid"], jnp.int32),
@@ -155,6 +163,7 @@ class NavWorld:
             obj_kw = dict(
                 obj_feat=jnp.zeros((vtot, 0, 1), feat_dtype),
                 obj_loc=jnp.zeros((vtot, 0, 7)),
+                obj_dir=jnp.zeros((vtot, 0, 2)),
                 obj_mask=jnp.zeros((vtot, 0), bool),
                 obj_name=jnp.zeros((vtot, 0), jnp.int32),
                 obj_id=jnp.zeros((vtot, 0), jnp.int32),
