@@ -799,9 +799,13 @@ class NavRollout:
                            just_ended=just_ended,
                            loss=step_loss.astype(jnp.float32))
                 if record_logits:
-                    # full fused-logit rows for oracle parity tests
+                    # full fused-logit rows + per-step gmap tables for
+                    # oracle parity tests (expert-decision replay)
                     rec["logits"] = logits.astype(jnp.float32)
                     rec["active"] = act
+                    rec["node_vp_t"] = aux["node_vp"]
+                    rec["visited_t"] = aux["visited"]
+                    rec["cur_vp_t"] = pano["cur_vp"]
                 return st, rec
 
             keys = jax.random.split(rng_loop, r.horizon)
@@ -857,6 +861,11 @@ class NavRollout:
                         if record_logits:
                             z["logits"] = jnp.full((C, B, G), -jnp.inf)
                             z["active"] = jnp.zeros((C, B), bool)
+                            z["node_vp_t"] = jnp.full((C, B, r.num_nodes),
+                                                      -1, jnp.int32)
+                            z["visited_t"] = jnp.zeros((C, B, r.num_nodes),
+                                                       bool)
+                            z["cur_vp_t"] = jnp.full((C, B), -1, jnp.int32)
                         return z
 
                     chunks = []
@@ -900,6 +909,11 @@ class NavRollout:
                         recs["logits"] = jnp.full((T, B, r.num_nodes + 2),
                                                   -jnp.inf)
                         recs["active"] = jnp.zeros((T, B), bool)
+                        recs["node_vp_t"] = jnp.full(
+                            (T, B, r.num_nodes), -1, jnp.int32)
+                        recs["visited_t"] = jnp.zeros(
+                            (T, B, r.num_nodes), bool)
+                        recs["cur_vp_t"] = jnp.full((T, B), -1, jnp.int32)
                     return recs
 
                 def cond(carry):
@@ -940,6 +954,9 @@ class NavRollout:
             if record_logits:
                 out["logits"] = recs["logits"]
                 out["active"] = recs["active"]
+                out["node_vp_t"] = recs["node_vp_t"]
+                out["visited_t"] = recs["visited_t"]
+                out["cur_vp_t"] = recs["cur_vp_t"]
             return out
 
         return rollout
