@@ -33,7 +33,7 @@ from vln_goat_tpu.sim.graph_sim import make_synthetic_scan
 from vln_goat_tpu.train.checkpoint import torch_to_flax
 
 H, HEADS, FF, VOCAB, DF = 64, 4, 128, 120, 32
-TASKS = ("mlm", "sap", "cfp")
+TASKS = ("mlm", "mrc", "sap", "cfp")
 
 
 def _ref_config():
@@ -202,17 +202,13 @@ def _ragged_from_static(o, ex):
                 cand_vpids=cand_vpids)
 
 
-def test_pretrain_sap_and_cfp_parity(oracle):
-    """End-to-end SAP logits + CFP pooled outputs: reference ragged inputs
-    vs our static batch, same underlying episode."""
-    o = oracle
-    builder, items = o["builder"], o["items"]
-    ex_batch = builder.build_batch(items[:2], task="cfp")  # pos end vps
-    B = 2
+def _build_ref_kwargs(o, ex_batch, items):
+    """Rebuild the reference's ragged kwargs from a static batch (same
+    underlying episode, two layouts).  Returns (kwargs, aux) where aux
+    carries gmap_lens / vp_rows / txt lens / per-step view row maps."""
+    B = ex_batch["scan_idx"].shape[0]
     sh = o["shapes"]
     K = sh.max_cands
-
-    # ---- build the reference ragged inputs from the same data ----
     g = o["g"]
     # the reference packs text ragged to max(txt_lens)
     lens_np = ex_batch["txt_masks"].sum(1).astype(np.int64)
@@ -220,9 +216,12 @@ def test_pretrain_sap_and_cfp_parity(oracle):
         ex_batch["txt_ids"][:, :int(lens_np.max())].astype(np.int64))
     txt_lens = torch.from_numpy(lens_np)
 
+    Lo = sh.max_objs if ex_batch.get("traj_obj_img_fts") is not None else 0
     all_views, all_locs, all_nav, vp_view_lens = [], [], [], []
+    all_objs, all_obj_names, vp_obj_lens = [], [], []
     step_lens, traj_vpids, traj_cand_vpids, gmap_vpids = [], [], [], []
     gmap_lens = []
+    row_maps = []        # per (b): static slot -> ragged view row, end step
     for b in range(B):
         ex = {k: v[b] for k, v in ex_batch.items()}
         T = int(ex["traj_len"])
@@ -238,12 +237,21 @@ def test_pretrain_sap_and_cfp_parity(oracle):
                 [K + ix for ix in range(36) if vm[K + ix]]
             all_views.append(np.stack(
                 [ex["traj_view_img_fts"][t][r] for r in rows], 0))
+            loc_rows = rows + [K + 36 + j for j in range(Lo)] if Lo else rows
             all_locs.append(np.stack(
-                [ex["traj_loc_fts"][t][r] for r in rows], 0))
-            all_nav.append([1] * n_cand + [0] * (len(rows) - n_cand))
+                [ex["traj_loc_fts"][t][r] for r in loc_rows], 0))
+            all_nav.append([1] * n_cand + [0] * (len(rows) - n_cand)
+                           + [2] * Lo)
             vp_view_lens.append(len(rows))
+            if Lo:
+                all_objs.append(np.asarray(ex["traj_obj_img_fts"][t]))
+                all_obj_names.append(
+                    np.asarray(ex["traj_obj_names"][t], np.int64))
+                vp_obj_lens.append(Lo)
             cands_per_step.append(
                 [str(int(w)) for w in g.cand_local[vp][:n_cand]])
+            if t == T - 1:
+                row_maps.append({r: i for i, r in enumerate(rows)})
         traj_cand_vpids.append(cands_per_step)
 
         # gmap vp names per slot: visited slots -> path[t]; unvisited ->
@@ -271,12 +279,21 @@ def test_pretrain_sap_and_cfp_parity(oracle):
         return out
 
     t_views = torch.from_numpy(pad_stack(all_views, maxlen))
-    t_locs = torch.from_numpy(pad_stack(all_locs, maxlen))
-    nav_pad = np.zeros((len(all_nav), maxlen), np.int64)
+    loc_maxlen = max(len(a) for a in all_locs)
+    t_locs = torch.from_numpy(pad_stack(all_locs, loc_maxlen))
+    nav_pad = np.zeros((len(all_nav), loc_maxlen), np.int64)
     for i, a in enumerate(all_nav):
         nav_pad[i, :len(a)] = a
     t_nav = torch.from_numpy(nav_pad)
     t_vp_view_lens = torch.from_numpy(np.asarray(vp_view_lens, np.int64))
+    t_objs = t_obj_names = t_vp_obj_lens = None
+    if Lo:
+        t_objs = torch.from_numpy(pad_stack(all_objs, Lo))
+        onames = np.zeros((len(all_obj_names), Lo), np.int64)
+        for i, a in enumerate(all_obj_names):
+            onames[i, :len(a)] = a
+        t_obj_names = torch.from_numpy(onames)
+        t_vp_obj_lens = torch.from_numpy(np.asarray(vp_obj_lens, np.int64))
 
     Gm = max(gmap_lens)
     gmap_step_ids = torch.from_numpy(
@@ -295,21 +312,44 @@ def test_pretrain_sap_and_cfp_parity(oracle):
         n_cand = int(g.cand_mask[vp].sum())
         vm = ex["traj_view_masks"][T - 1]
         rows = [0] + [1 + r for r in range(n_cand)] + \
-            [1 + K + ix for ix in range(36) if vm[K + ix]]
+            [1 + K + ix for ix in range(36) if vm[K + ix]] + \
+            [1 + K + 36 + j for j in range(Lo)]
         vp_rows.append(np.stack([ex["vp_pos_fts"][r] for r in rows], 0))
     vp_maxlen = max(len(r) for r in vp_rows)
     t_vp_pos = torch.from_numpy(pad_stack(vp_rows, vp_maxlen))
 
     kwargs = dict(
         txt_ids=txt_ids, txt_lens=txt_lens, traj_view_img_fts=t_views,
-        traj_obj_img_fts=None, traj_loc_fts=t_locs, traj_nav_types=t_nav,
+        traj_obj_img_fts=t_objs, traj_loc_fts=t_locs, traj_nav_types=t_nav,
         traj_step_lens=step_lens, traj_vp_view_lens=t_vp_view_lens,
-        traj_vp_obj_lens=None, traj_vpids=traj_vpids,
+        traj_vp_obj_lens=t_vp_obj_lens, traj_vpids=traj_vpids,
         traj_cand_vpids=traj_cand_vpids, gmap_lens=t_gmap_lens,
         gmap_step_ids=gmap_step_ids, gmap_pos_fts=gmap_pos_fts,
         gmap_pair_dists=gmap_pair, gmap_vpids=gmap_vpids,
         vp_pos_fts=t_vp_pos,
     )
+    if Lo:
+        kwargs["traj_reverie_obj_names"] = t_obj_names
+    aux = dict(gmap_lens=gmap_lens, gmap_visited=gmap_visited,
+               vp_rows=vp_rows, lens_np=lens_np, row_maps=row_maps, Lo=Lo)
+    return kwargs, aux
+
+
+def test_pretrain_sap_and_cfp_parity(oracle):
+    """End-to-end SAP logits + CFP pooled outputs: reference ragged inputs
+    vs our static batch, same underlying episode."""
+    o = oracle
+    builder, items = o["builder"], o["items"]
+    items = items[:2]
+    ex_batch = builder.build_batch(items, task="cfp")  # pos end vps
+    B = 2
+    g = o["g"]
+    sh = o["shapes"]
+    K = sh.max_cands
+    kwargs, aux = _build_ref_kwargs(o, ex_batch, items)
+    gmap_lens, gmap_visited = aux["gmap_lens"], aux["gmap_visited"]
+    vp_rows, lens_np = aux["vp_rows"], aux["lens_np"]
+    Gm = max(gmap_lens)
 
     tm = o["tm"]
     with torch.no_grad():
@@ -379,11 +419,15 @@ def test_pretrain_sap_and_cfp_parity(oracle):
 
     # ---- MLM text streams (vilmodel_goat.forward_mlm:597-648: text as
     # query over gmap/vp keys, summed) ----
+    kw = kwargs
     with torch.no_grad():
         ref_txt = o["tm"].bert.forward_mlm(
-            txt_ids, txt_lens, t_views, None, t_locs, t_nav, step_lens,
-            t_vp_view_lens, None, traj_vpids, traj_cand_vpids, t_gmap_lens,
-            gmap_step_ids, gmap_pos_fts, gmap_pair, gmap_vpids, t_vp_pos)
+            kw["txt_ids"], kw["txt_lens"], kw["traj_view_img_fts"], None,
+            kw["traj_loc_fts"], kw["traj_nav_types"], kw["traj_step_lens"],
+            kw["traj_vp_view_lens"], None, kw["traj_vpids"],
+            kw["traj_cand_vpids"], kw["gmap_lens"], kw["gmap_step_ids"],
+            kw["gmap_pos_fts"], kw["gmap_pair_dists"], kw["gmap_vpids"],
+            kw["vp_pos_fts"])
         # project two positions through the tied MLM head
         pos = torch.tensor([[1, 2], [1, 2]])
         gathered = ref_txt[torch.arange(B)[:, None], pos]
@@ -397,3 +441,179 @@ def test_pretrain_sap_and_cfp_parity(oracle):
         method=GoatPretrainModel.forward_mlm)
     np.testing.assert_allclose(np.asarray(our_logits),
                                ref_logits.numpy(), atol=2e-4, rtol=1e-3)
+
+
+def test_pretrain_mrc_parity(oracle):
+    """MRC golden parity vs pretrain_goat.forward_mrc (:226-284): masked
+    view inputs -> RegionClassification logits + gathered soft targets."""
+    o = oracle
+    builder, items = o["builder"], o["items"]
+    items = items[:2]
+    ex_batch = builder.build_batch(items, task="mrc")
+    B = 2
+    sh = o["shapes"]
+    kwargs, aux = _build_ref_kwargs(o, ex_batch, items)
+    row_maps = aux["row_maps"]
+
+    # ragged mrc mask + soft-label targets for the END step (36 view rows
+    # in the fixture world: all candidates own distinct views)
+    view_len = 36
+    masks = np.zeros((B, view_len), bool)
+    probs = np.zeros((B, view_len, sh.mrc_prob_dim), np.float32)
+    for b in range(B):
+        for slot, row in row_maps[b].items():
+            masks[b, row] = ex_batch["mrc_masks"][b, slot]
+            probs[b, row] = ex_batch["mrc_targets"][b, slot]
+    assert masks.any()
+
+    tm = o["tm"]
+    with torch.no_grad():
+        ref_pred, ref_tgt, _, _ = tm.forward_mrc(
+            **kwargs,
+            vp_view_mrc_masks=torch.from_numpy(masks),
+            vp_view_probs=torch.from_numpy(probs),
+            vp_obj_mrc_masks=None, vp_obj_probs=None, compute_loss=False)
+
+    ours_batch = jax.tree.map(jnp.asarray, ex_batch)
+    our_logits = np.asarray(o["ours"].apply(
+        o["variables"], ours_batch, method=GoatPretrainModel.forward_mrc))
+
+    # reference gathers masked rows in (b, row) order
+    ref_rows = ref_pred.numpy()
+    ref_tgts = ref_tgt.numpy()
+    i = 0
+    for b in range(B):
+        inv = {row: slot for slot, row in row_maps[b].items()}
+        for row in range(view_len):
+            if masks[b, row]:
+                slot = inv[row]
+                np.testing.assert_allclose(
+                    our_logits[b, slot], ref_rows[i], atol=1e-4, rtol=1e-3,
+                    err_msg=f"mrc pred b={b} row={row}")
+                np.testing.assert_allclose(
+                    ex_batch["mrc_targets"][b, slot], ref_tgts[i],
+                    atol=1e-6, err_msg=f"mrc tgt b={b} row={row}")
+                i += 1
+    assert i == masks.sum()
+
+    # loss parity: KL summed per masked row, averaged over rows
+    our_loss, _ = o["ours"].apply(
+        o["variables"], ours_batch, method=GoatPretrainModel.mrc_loss)
+    with torch.no_grad():
+        ref_losses = tm.forward_mrc(
+            **kwargs,
+            vp_view_mrc_masks=torch.from_numpy(masks),
+            vp_view_probs=torch.from_numpy(probs),
+            vp_obj_mrc_masks=None, vp_obj_probs=None, compute_loss=True)
+    np.testing.assert_allclose(float(our_loss),
+                               float(ref_losses.mean()), atol=1e-4,
+                               rtol=1e-3)
+
+
+# ----------------------------------------------------------------------
+# OG (REVERIE object grounding) oracle
+@pytest.fixture(scope="module")
+def oracle_obj(oracle):
+    """REVERIE-config twin of the oracle with synthetic objects on every
+    viewpoint (full obj slots -> no ragged-pad divergence)."""
+    cfg = _ref_config()
+    cfg.name = "REVERIE"
+    cfg.obj_feat_size = DF
+    cfg.obj_prob_size = 0
+    cfg.use_obj_name = True
+    cfg.pretrain_tasks = ["mlm", "mrc", "sap", "og", "cfp"]
+    from model.pretrain_goat import GlocalTextPathCMTPreTraining
+
+    torch.manual_seed(1)
+    tm = GlocalTextPathCMTPreTraining(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = torch_to_flax(sd)
+
+    ours = GoatPretrainModel(
+        _our_config().replace(dataset="reverie", name="REVERIE",
+                              obj_feat_size=DF, use_obj_name=True),
+        tasks=("mlm", "mrc", "sap", "og", "cfp"), image_prob_size=16)
+
+    g = oracle["g"]
+    Lo = 3
+    orng = np.random.default_rng(9)
+    objects = dict(
+        feat=orng.standard_normal((g.num_vps, Lo, DF)).astype(np.float32),
+        loc=np.concatenate(
+            [orng.standard_normal((g.num_vps, Lo, 4)).astype(np.float32),
+             orng.random((g.num_vps, Lo, 3)).astype(np.float32)], -1),
+        dir=orng.uniform(-3, 3, (g.num_vps, Lo, 2)).astype(np.float32),
+        mask=np.ones((g.num_vps, Lo), bool),
+        name=orng.integers(0, 45, (g.num_vps, Lo)).astype(np.int32),
+        oid=np.arange(g.num_vps * Lo, dtype=np.int32).reshape(g.num_vps, Lo),
+    )
+    shapes = PretrainShapes(max_txt_len=16, max_steps=4, max_cands=16,
+                            max_gmap=24, max_mlm=4, mrc_prob_dim=16,
+                            max_objs=Lo)
+    builder = TrajBatchBuilder({"gp0": g}, ["gp0"], oracle["feats"], shapes,
+                               vocab_size=VOCAB, objnav=True,
+                               objects=objects, seed=0)
+    items = []
+    for it in oracle["items"]:
+        it = dict(it)
+        goal = it["path_local"][-1]
+        it["objid"] = int(objects["oid"][goal, 1])   # gt obj = slot 1
+        items.append(it)
+    return dict(tm=tm, variables=variables, ours=ours, builder=builder,
+                items=items, g=g, feats=oracle["feats"], shapes=shapes,
+                Lo=Lo)
+
+
+def test_pretrain_og_parity(oracle_obj):
+    """OG golden parity vs pretrain_goat.forward_og (:356-391): object
+    logits at the end viewpoint + CE loss with -100 ignore."""
+    o = oracle_obj
+    builder, items = o["builder"], o["items"]
+    items = items[:2]
+    ex_batch = builder.build_batch(items, task="og")
+    B = 2
+    sh = o["shapes"]
+    Lo = o["Lo"]
+    Lp = sh.pano_len
+    kwargs, aux = _build_ref_kwargs(o, ex_batch, items)
+    assert aux["Lo"] == Lo and kwargs["traj_obj_img_fts"] is not None
+
+    # reference obj labels: index among end-vp objects (-100 if missing)
+    ref_labels = []
+    for b in range(B):
+        l = int(ex_batch["obj_labels"][b])
+        ref_labels.append(l - (1 + Lp) if l >= 0 else -100)
+
+    tm = o["tm"]
+    with torch.no_grad():
+        ref_logits = tm.forward_og(
+            **kwargs, obj_labels=torch.tensor(ref_labels),
+            compute_loss=False)
+        ref_losses = tm.forward_og(
+            **kwargs, obj_labels=torch.tensor(ref_labels),
+            compute_loss=True)
+
+    ours_batch = jax.tree.map(jnp.asarray, ex_batch)
+
+    def fwd_logits(m, batch):
+        _, vp_embeds, _, _ = m.encode(batch, return_gmap=False)
+        import jax.numpy as jnp2
+        logits = m.og_head(vp_embeds).squeeze(-1)
+        return jnp2.where(batch["vp_obj_masks"], logits, -jnp2.inf)
+
+    our_logits = np.asarray(o["ours"].apply(o["variables"], ours_batch,
+                                            method=fwd_logits))
+    rl = ref_logits.numpy()
+    for b in range(B):
+        np.testing.assert_allclose(
+            our_logits[b, 1 + Lp:1 + Lp + Lo], rl[b, :Lo], atol=1e-4,
+            rtol=1e-3, err_msg=f"og logits b={b}")
+        # every non-object slot is masked out on our side
+        assert not np.isfinite(np.delete(our_logits[b],
+                                         np.arange(1 + Lp, 1 + Lp + Lo))).any()
+
+    our_loss, m = o["ours"].apply(o["variables"], ours_batch,
+                                  method=GoatPretrainModel.og_loss)
+    ok = np.asarray(ref_labels) >= 0
+    want = float(ref_losses.numpy()[ok].mean()) if ok.any() else 0.0
+    np.testing.assert_allclose(float(our_loss), want, atol=1e-4, rtol=1e-3)

@@ -49,6 +49,26 @@ class ImageFeaturesDB:
                 [self.get_image_feature(s, vp) for vp in g.vp_ids], 0))
         return np.concatenate(chunks, 0)
 
+    def as_packed_probs(self, scan_graphs, scan_order: Sequence[str],
+                        prob_size: int) -> np.ndarray:
+        """[sum V_s, 36, P] softmaxed CLIP-class probabilities from the
+        columns AFTER the image features — the reference stores MRC soft
+        labels appended to each view's feature row and softmaxes them at
+        sample time (pretrain_src/data/dataset.py:245,420-422)."""
+        chunks = []
+        for s in scan_order:
+            g = scan_graphs[s]
+            rows = []
+            for vp in g.vp_ids:
+                key = f"{s}_{vp}"
+                ft = self._file()[key][...]
+                logits = ft[:, self.dim:self.dim + prob_size] \
+                    .astype(np.float32)
+                e = np.exp(logits - logits.max(-1, keepdims=True))
+                rows.append(e / e.sum(-1, keepdims=True))
+            chunks.append(np.stack(rows, 0))
+        return np.concatenate(chunks, 0)
+
 
 class TsvFeaturesDB:
     """base64 TSV features (utils/data.py:48-74 path)."""

@@ -75,7 +75,8 @@ class CausalImageEmbeddings(nn.Module):
     def __call__(self, view_img_fts, loc_fts, nav_types, view_masks,
                  z_img_features=None, z_img_pzs=None,
                  obj_fts=None, obj_loc_fts=None, obj_masks=None, obj_names=None,
-                 per_step: bool = True, deterministic: bool = True):
+                 per_step: bool = True, pretrain: bool = False,
+                 deterministic: bool = True):
         """Per-viewpoint panorama encoding.
 
         view_img_fts: [B, Lv, Dimg] raw CLIP features (candidate slots first).
@@ -124,9 +125,11 @@ class CausalImageEmbeddings(nn.Module):
                 _dense(D, "loc_linear", self.dtype)(loc_fts))
             nav_emb = nn.Embed(3, D, name="nav_type_embedding", dtype=self.dtype)(nav_types)
             embeds = embeds + loc_all + nav_emb
-            if per_step:
-                # final LN only on the per-step path (vilmodel_GOAT.py:720;
-                # the trajectory path :292-294 has none)
+            if per_step or pretrain:
+                # final LN on the per-step path (vilmodel_GOAT.py:720) AND
+                # the PRETRAIN trajectory path (vilmodel_goat.py:343) — but
+                # NOT the fine-tune trajectory path (vilmodel_GOAT.py:292-300
+                # goes straight to dropout)
                 embeds = nn.LayerNorm(epsilon=1e-12, name="layer_norm",
                                       dtype=self.dtype)(embeds)
             embeds = nn.Dropout(c.hidden_dropout_prob)(embeds,

@@ -47,7 +47,30 @@ def parse_args(argv=None):
     p.add_argument("--log_steps", type=int, default=1500)
     p.add_argument("--valid_steps", type=int, default=3000)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--max_steps_traj", type=int, default=10)
+    # reference TRAIN_MAX_STEP=20 (pretrain_src/data/dataset.py:371-373)
+    p.add_argument("--max_steps_traj", type=int, default=20)
+    # --- init from an external checkpoint with key surgery
+    # (train_r2r_goat.py:113-172) ---
+    p.add_argument("--init_from", default=None,
+                   help="torch .pt/.ckpt to initialize the encoder from")
+    p.add_argument("--init_format", default="goat",
+                   choices=["goat", "meter", "lxmert", "bert"],
+                   help="key space of --init_from (goat = reference "
+                        "pretrain/fine-tune .pt, no rename)")
+    # --- MRC real soft labels ---
+    p.add_argument("--image_prob_size", type=int, default=0,
+                   help="CLIP-class logit columns appended to each view "
+                        "row of --img_ft_file (reference image_prob_size, "
+                        "dataset.py:420-422); enables real MRC targets")
+    p.add_argument("--mrc_prob_file", default=None,
+                   help="separate HDF5 of per-view class logits keyed "
+                        "'{scan}_{vp}' -> [36, P] (alternative to in-file "
+                        "prob columns)")
+    # --- REVERIE objects / OG task ---
+    p.add_argument("--obj_ft_file", default=None,
+                   help="REVERIE object feature HDF5 (enables the og task)")
+    p.add_argument("--obj_feat_size", type=int, default=768)
+    p.add_argument("--max_objects", type=int, default=20)
     p.add_argument("--max_txt_len", type=int, default=80)
     p.add_argument("--max_gmap", type=int, default=64)
     args = p.parse_args(argv)
@@ -98,6 +121,38 @@ def build(args):
                                                  path_len=(3, 6), seed=3),
         }
         aug_feats = None
+        view_probs = None
+        objects = None
+        if "og" in args.tasks or args.dataset == "reverie":
+            # synthetic REVERIE objects (same layout as cli.py synthetic)
+            orng = np.random.default_rng(7)
+            Lo = args.max_objects
+            cfg = cfg.replace(obj_feat_size=args.obj_feat_size or 768)
+            objects = dict(
+                feat=orng.standard_normal(
+                    (vtot, Lo, cfg.obj_feat_size)).astype(np.float32),
+                loc=np.concatenate([
+                    orng.standard_normal((vtot, Lo, 4)).astype(np.float32),
+                    orng.random((vtot, Lo, 3)).astype(np.float32)], -1),
+                dir=orng.uniform(-3, 3, (vtot, Lo, 2)).astype(np.float32),
+                mask=orng.random((vtot, Lo)) < 0.7,
+                name=orng.integers(0, cfg.obj_name_vocab_size,
+                                   (vtot, Lo)).astype(np.int32),
+                oid=orng.integers(0, 50, (vtot, Lo)).astype(np.int32),
+            )
+            # attach a gt object id per item so OG labels exist
+            offs = {}
+            tot = 0
+            for s in (g.scan_id for g in scans):
+                offs[s] = tot
+                tot += graphs[s].num_vps
+            for split in data.values():
+                for it in split:
+                    goal = graphs[it["scan"]].index[it["path"][-1]]
+                    row = offs[it["scan"]] + goal
+                    if objects["mask"][row].any():
+                        k = int(np.argmax(objects["mask"][row]))
+                        it["objid"] = int(objects["oid"][row, k])
     else:
         from ..data.annotations import construct_instrs
         from ..data.feature_db import ImageFeaturesDB
@@ -107,26 +162,52 @@ def build(args):
                                 ["train", "val_seen", "val_unseen"])
         scan_ids = sorted({it["scan"] for s in data.values() for it in s})
         graphs = load_connectivity(args.connectivity_dir, scan_ids)
-        feats = ImageFeaturesDB(args.img_ft_file, cfg.image_feat_size) \
-            .as_packed_array(graphs, scan_ids)
+        db = ImageFeaturesDB(args.img_ft_file, cfg.image_feat_size)
+        feats = db.as_packed_array(graphs, scan_ids)
         aug_feats = None
         if getattr(args, "aug_img_ft_file", None):
             # EnvEdit 50/50 feature alternation (dataset.py:226-233)
             aug_feats = ImageFeaturesDB(
                 args.aug_img_ft_file, cfg.image_feat_size) \
                 .as_packed_array(graphs, scan_ids)
+        # MRC soft labels: in-file prob columns (dataset.py:420-422) or a
+        # separate prob h5
+        view_probs = None
+        if args.image_prob_size > 0:
+            view_probs = db.as_packed_probs(graphs, scan_ids,
+                                            args.image_prob_size)
+        elif args.mrc_prob_file:
+            pdb = ImageFeaturesDB(args.mrc_prob_file, 10 ** 9)
+            logits = pdb.as_packed_array(graphs, scan_ids)
+            e = np.exp(logits - logits.max(-1, keepdims=True))
+            view_probs = (e / e.sum(-1, keepdims=True)).astype(np.float32)
+        objects = None
+        if args.obj_ft_file:
+            from ..data.feature_db import ObjectFeaturesDB
+
+            cfg = cfg.replace(obj_feat_size=args.obj_feat_size)
+            objects = ObjectFeaturesDB(
+                args.obj_ft_file, args.obj_feat_size,
+                max_objects=args.max_objects).as_packed_arrays(
+                    graphs, scan_ids)
 
     order = list(graphs)
+    prob_dim = (args.image_prob_size or
+                (view_probs.shape[-1] if view_probs is not None else 1000))
     shapes = PretrainShapes(max_txt_len=args.max_txt_len,
                             max_steps=args.max_steps_traj,
                             max_gmap=args.max_gmap,
-                            mrc_prob_dim=1000)
+                            mrc_prob_dim=prob_dim,
+                            max_objs=(args.max_objects
+                                      if objects is not None else 0))
     builder = TrajBatchBuilder(graphs, order, feats, shapes,
                                vocab_size=cfg.vocab_size,
+                               view_probs=view_probs,
+                               objnav=objects is not None, objects=objects,
                                aug_features=aug_feats, seed=args.seed)
     items = {k: items_from_dataset(v, graphs) for k, v in data.items()}
     model = GoatPretrainModel(cfg, tasks=tuple(args.tasks),
-                              image_prob_size=1000)
+                              image_prob_size=prob_dim)
     return dict(cfg=cfg, model=model, builder=builder, items=items)
 
 
@@ -149,6 +230,9 @@ def train(args):
     rt = build(args)
     model, builder, items = rt["model"], rt["builder"], rt["items"]
     B = args.train_batch_size
+    if len(args.mix_ratio) < len(args.tasks):   # pad to uniform
+        args.mix_ratio = list(args.mix_ratio) + \
+            [1] * (len(args.tasks) - len(args.mix_ratio))
 
     import zlib
 
@@ -167,6 +251,16 @@ def train(args):
     init_batches = {t: sample_batch("train", t) for t in args.tasks}
     params = init_pretrain_params(model, jax.random.PRNGKey(args.seed),
                                   init_batches)
+    if args.init_from:
+        # reference pretrain-entry init: load + key surgery + tolerant
+        # overlay (train_r2r_goat.py:113-172)
+        from ..train.checkpoint import init_pretrain_from
+
+        params, missing, extra = init_pretrain_from(
+            args.init_from, args.init_format, params)
+        write_to_record_file(
+            f"init_from {args.init_from} ({args.init_format}): "
+            f"{len(missing)} missing, {len(extra)} unused keys", record)
     pcfg = PretrainConfig(
         tasks=tuple(args.tasks), mix_ratio=tuple(args.mix_ratio),
         train_batch_size=B, learning_rate=args.learning_rate,

@@ -59,6 +59,8 @@ class TrajBatchBuilder:
                  mlm_prob: float = 0.15, mrc_prob: float = 0.15,
                  objnav: bool = False, zdicts: Optional[dict] = None,
                  aug_features: Optional[np.ndarray] = None,
+                 objects: Optional[dict] = None,
+                 obj_prob_logits: Optional[np.ndarray] = None,
                  seed: int = 0):
         self.graphs = scan_graphs
         self.scan_order = list(scan_order)
@@ -84,6 +86,17 @@ class TrajBatchBuilder:
         self.mlm_prob = mlm_prob
         self.mrc_prob = mrc_prob
         self.objnav = objnav
+        # REVERIE object store, same [Vtot, Lo, ...] layout as
+        # rollout.world.NavWorld: feat / loc (angle+box) / dir (absolute
+        # heading+elev) / mask / name / oid.  Pretrain obj angle features
+        # are ABSOLUTE directions (dataset.py:483-487), unlike the
+        # camera-relative fine-tune path.
+        self.objects = objects
+        # optional [Vtot, Lo, P] CLIP-class logits for MRC object targets
+        # (reference: obj_ft columns obj_feat_size:, dataset.py:422)
+        self.obj_prob_logits = obj_prob_logits
+        if objects is not None and shapes.max_objs == 0:
+            shapes.max_objs = int(objects["feat"].shape[1])
         # optional BACL banks replicated into every batch (the pretrain
         # reference broadcasts z-dicts in the task collates, tasks.py:110+):
         # keys instr_z_{direction,landmark}_{features,pzs}, img_z_*
@@ -102,12 +115,19 @@ class TrajBatchBuilder:
         return src[self.offsets[scan] + vp]
 
     def _probs(self, scan: str, vp: int) -> np.ndarray:
+        P = self.sh.mrc_prob_dim
         if self.view_probs is not None:
-            return self.view_probs[self.offsets[scan] + vp]
-        # synthetic: deterministic pseudo-probs from features
-        f = self._feat(scan, vp)[:, :self.sh.mrc_prob_dim]
+            vpb = self.view_probs[self.offsets[scan] + vp]
+            assert vpb.shape[-1] == P, (vpb.shape, P)
+            return vpb
+        # synthetic: deterministic pseudo-probs from features (padded with
+        # zeros when the feature width is below mrc_prob_dim)
+        f = self._feat(scan, vp)[:, :P]
         e = np.exp(f - f.max(-1, keepdims=True))
-        return (e / e.sum(-1, keepdims=True)).astype(np.float32)
+        p = (e / e.sum(-1, keepdims=True)).astype(np.float32)
+        if p.shape[-1] < P:
+            p = np.pad(p, ((0, 0), (0, P - p.shape[-1])))
+        return p
 
     def _cur_angle(self, g: ScanGraph, path: List[int], start_heading: float):
         """get_cur_angle (dataset.py:429-436)."""
@@ -184,12 +204,18 @@ class TrajBatchBuilder:
         heading, elevation = self._cur_angle(g, traj, item.get("heading", 0.0))
 
         K, Lp = sh.max_cands, sh.pano_len
+        Lo = sh.max_objs if self.objects is not None else 0
         Df = self.features.shape[-1]
         view_img = np.zeros((sh.max_steps, Lp, Df), np.float32)
-        loc_fts = np.zeros((sh.max_steps, Lp, self.afs + 3), np.float32)
-        nav_types = np.zeros((sh.max_steps, Lp), np.int32)
+        loc_fts = np.zeros((sh.max_steps, Lp + Lo, self.afs + 3), np.float32)
+        nav_types = np.zeros((sh.max_steps, Lp + Lo), np.int32)
         view_masks = np.zeros((sh.max_steps, Lp), bool)
         step_masks = np.zeros((sh.max_steps,), bool)
+        if Lo:
+            Dobj = self.objects["feat"].shape[-1]
+            obj_img = np.zeros((sh.max_steps, Lo, Dobj), np.float32)
+            obj_masks = np.zeros((sh.max_steps, Lo), bool)
+            obj_names = np.zeros((sh.max_steps, Lo), np.int32)
 
         cand_lists = []
         for t, vp in enumerate(traj):
@@ -215,6 +241,25 @@ class TrajBatchBuilder:
             loc_fts[t, slots, self.afs:] = 1.0
             view_masks[t, slots] = True
             cand_lists.append([int(x) for x in g.cand_local[vp][:n_cand]])
+            if Lo:
+                # object tokens [cand | views | objs] (dataset.py:439-505);
+                # absolute obj directions, box fts from the stored loc tail
+                gi = self.offsets[scan] + vp
+                om = np.asarray(self.objects["mask"][gi], bool)
+                obj_img[t] = self.objects["feat"][gi]
+                obj_masks[t] = om
+                obj_names[t] = self.objects["name"][gi]
+                odir = self.objects.get("dir")
+                if odir is not None:
+                    loc_fts[t, Lp:, :self.afs] = G.angle_feature_np(
+                        np.asarray(odir[gi])[:, 0],
+                        np.asarray(odir[gi])[:, 1], self.afs)
+                    loc_fts[t, Lp:, self.afs:] = \
+                        np.asarray(self.objects["loc"][gi])[:, self.afs:]
+                else:
+                    loc_fts[t, Lp:] = self.objects["loc"][gi]
+                loc_fts[t, Lp:][~om] = 0.0
+                nav_types[t, Lp:][om] = 2
 
         # ---- gmap (get_gmap_inputs, dataset.py:511-537) ----
         visited_step: Dict[int, int] = {}
@@ -258,7 +303,7 @@ class TrajBatchBuilder:
                     cand_to_gmap[t, k] = gmap_slot[w]
 
         # ---- local branch ----
-        L = 1 + Lp
+        L = 1 + Lp + Lo
         vp_pos = np.zeros((L, 2 * (self.afs + 3)), np.float32)
         start_ft = self._pos7(g, traj[-1], [start], heading, elevation)[0]
         vp_pos[:, :self.afs + 3] = start_ft
@@ -301,7 +346,7 @@ class TrajBatchBuilder:
         txt_masks = np.zeros((sh.max_txt_len,), bool)
         txt_masks[:len(enc)] = True
 
-        return dict(
+        out = dict(
             end_vp=np.int32(traj[-1]),
             scan_idx=np.int32(self.scan_index[scan]),
             txt_ids=txt_ids.astype(np.int32), txt_masks=txt_masks,
@@ -315,6 +360,28 @@ class TrajBatchBuilder:
             vp_pos_fts=vp_pos, local_to_gmap=local_to_gmap,
             global_act_labels=np.int32(gl), local_act_labels=np.int32(ll),
         )
+        if Lo:
+            out["traj_obj_img_fts"] = obj_img
+            out["traj_obj_masks"] = obj_masks
+            out["traj_obj_names"] = obj_names
+            # local-token layout [stop | Lp | objs]; masks/labels for OG
+            end_gi = self.offsets[scan] + traj[-1]
+            end_om = np.asarray(self.objects["mask"][end_gi], bool)
+            vp_obj_masks = np.zeros((L,), bool)
+            vp_obj_masks[1 + Lp:] = end_om
+            out["vp_obj_masks"] = vp_obj_masks
+            # OG label: slot of the gt object at the end viewpoint
+            # (dataset.py:303-316: index among end-vp obj ids, -100 if
+            # absent), lifted into the full local layout
+            obj_label = np.int32(-100)
+            gt_oid = item.get("objid")
+            if gt_oid is not None:
+                oids = np.asarray(self.objects["oid"][end_gi])
+                hits = np.nonzero((oids == gt_oid) & end_om)[0]
+                if len(hits):
+                    obj_label = np.int32(1 + Lp + int(hits[0]))
+            out["obj_labels"] = obj_label
+        return out
 
     # ------------------------------------------------------------------
     def add_mlm(self, ex: dict) -> dict:
@@ -345,12 +412,13 @@ class TrajBatchBuilder:
         return ex
 
     def add_mrc(self, ex: dict, scan: str, end_vp: int) -> dict:
-        """Mask views of the end viewpoint, zero their inputs, attach soft
-        targets (tasks.py:189-324)."""
+        """Mask views (and REVERIE objects) of the end viewpoint, zero
+        their inputs, attach soft targets (tasks.py:189-324)."""
         sh = self.sh
         ex = dict(ex)
         t = int(ex["traj_len"]) - 1
         Lp = sh.pano_len
+        Lo = sh.max_objs if self.objects is not None else 0
         vm = ex["traj_view_masks"][t]
         mask = (self.rng.random(Lp) < self.mrc_prob) & vm
         if not mask.any():
@@ -361,13 +429,25 @@ class TrajBatchBuilder:
 
         probs = self._probs(scan, end_vp)       # [36, P]
         g = self.graphs[scan]
-        tgt = np.zeros((Lp, sh.mrc_prob_dim), np.float32)
+        tgt = np.zeros((Lp + Lo, sh.mrc_prob_dim), np.float32)
         n_cand = int(g.cand_mask[end_vp].sum())
         for k in range(n_cand):
             tgt[k] = probs[int(g.cand_ptid[end_vp, k])]
         for ix in range(36):
             tgt[sh.max_cands + ix] = probs[ix]
-        ex["mrc_masks"] = np.concatenate([mask])  # view-token slots of end vp
+        if Lo:
+            # object MRC (tasks.py:243-250): mask end-vp objects too; soft
+            # labels = softmax of the trailing CLIP-class logits
+            gi = self.offsets[scan] + end_vp
+            om = np.asarray(self.objects["mask"][gi], bool)
+            omask = (self.rng.random(Lo) < self.mrc_prob) & om
+            ex["traj_obj_img_fts"][t][omask] = 0.0
+            if self.obj_prob_logits is not None:
+                ol = np.asarray(self.obj_prob_logits[gi], np.float32)
+                e = np.exp(ol - ol.max(-1, keepdims=True))
+                tgt[Lp:, :ol.shape[-1]] = e / e.sum(-1, keepdims=True)
+            mask = np.concatenate([mask, omask])
+        ex["mrc_masks"] = mask  # view(+obj)-token slots of end vp
         ex["mrc_targets"] = tgt
         return ex
 

@@ -159,7 +159,8 @@ class GoatPretrainModel(nn.Module):
             flat(v), flat(batch["traj_loc_fts"]),
             flat(batch["traj_nav_types"]), flat(batch["traj_view_masks"]),
             batch.get("img_z_features"), batch.get("img_z_pzs"),
-            per_step=False, deterministic=deterministic, **obj_kw)
+            per_step=False, pretrain=True, deterministic=deterministic,
+            **obj_kw)
         L = embeds.shape[1]
         embeds = embeds.reshape(B, T, L, -1)
         masks = masks.reshape(B, T, L)

@@ -225,6 +225,99 @@ def merge_loaded(init_params: Dict[str, Any], loaded: Dict[str, Any],
     return out, missing, extra
 
 
+# encoder modules that live under the `bert.` prefix in a reference
+# PRETRAIN state dict (GlocalTextPathCMTPreTraining: self.bert holds the
+# encoder, heads sit on the wrapper — pretrain_goat.py:40-89)
+_PRETRAIN_BERT_MODULES = {
+    "embeddings", "lang_encoder", "img_embeddings", "local_encoder",
+    "global_encoder",
+}
+
+
+def flax_to_torch_pretrain(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """flax pretrain params -> reference pretrain-format flat state dict:
+    encoder keys under `bert.`, task heads at top level (the layout
+    ModelSaver writes, utils/save.py:23-71)."""
+    flat = flax_to_torch(variables, add_prefix="")
+    out = {}
+    for k, v in flat.items():
+        top = k.split(".", 1)[0]
+        out[("bert." + k) if top in _PRETRAIN_BERT_MODULES else k] = v
+    return out
+
+
+# ----------------------------------------------------------------------
+# Pretrain-entry init surgery (train_r2r_goat.py:113-172): map third-party
+# checkpoint key spaces (METER / LXMERT / HF bert) into the reference's
+# `bert.*` pretrain namespace, which torch_to_flax then converts.
+def surgery_init_keys(state_dict: Dict[str, np.ndarray],
+                      fmt: str) -> Dict[str, np.ndarray]:
+    """fmt: 'goat' (reference .pt, no rename) | 'meter' | 'lxmert' |
+    'bert' (plain HF AutoModel dump).
+
+    meter (train_r2r_goat.py:154-172): text_transformer.embeddings ->
+    bert.embeddings, text_transformer.encoder -> bert.lang_encoder,
+    cross_modal_image_layers -> BOTH bert.{local,global}_encoder.encoder
+    .crossattention.
+    lxmert (:127-151): bert.encoder.layer -> bert.lang_encoder.layer,
+    bert.encoder.x_layers -> both cross encoders, cls.predictions ->
+    mlm_head.predictions.
+    bert (:116-125): keys kept as-is — under HF from_pretrained the
+    encoder.layer.* keys find no module and only the embeddings load
+    (faithful to the reference's effective behavior)."""
+    if fmt == "goat":
+        return state_dict
+    out: Dict[str, np.ndarray] = {}
+    for key, val in state_dict.items():
+        key = key.replace("module.", "")
+        if fmt == "meter":
+            if "text_transformer.embeddings" in key:
+                out[key.replace("text_transformer.", "bert.")] = val
+            elif "text_transformer.encoder" in key:
+                out[key.replace("text_transformer.encoder",
+                                "bert.lang_encoder")] = val
+            elif "cross_modal_image_layers" in key:
+                out[key.replace(
+                    "cross_modal_image_layers",
+                    "bert.local_encoder.encoder.crossattention")] = val
+                out[key.replace(
+                    "cross_modal_image_layers",
+                    "bert.global_encoder.encoder.crossattention")] = val
+            else:
+                out[key] = val
+        elif fmt == "lxmert":
+            if "bert.encoder.layer" in key:
+                out[key.replace("bert.encoder.layer",
+                                "bert.lang_encoder.layer")] = val
+            elif "bert.encoder.x_layers" in key:
+                out[key.replace(
+                    "bert.encoder.x_layers",
+                    "bert.local_encoder.encoder.x_layers")] = val
+                out[key.replace(
+                    "bert.encoder.x_layers",
+                    "bert.global_encoder.encoder.x_layers")] = val
+            elif "cls.predictions" in key:
+                out[key.replace("cls.predictions",
+                                "mlm_head.predictions")] = val
+            else:
+                out[key] = val
+        elif fmt == "bert":
+            out[key] = val
+        else:
+            raise ValueError(f"unknown init format {fmt!r}")
+    return out
+
+
+def init_pretrain_from(path: str, fmt: str, init_params: Dict[str, Any]):
+    """Load a torch checkpoint with pretrain-entry key surgery and overlay
+    it on freshly initialized pretrain params.  Returns
+    (params, missing, extra) like merge_loaded."""
+    sd = load_reference_checkpoint(path)
+    sd = surgery_init_keys(sd, fmt)
+    loaded = torch_to_flax(sd)
+    return merge_loaded(init_params, loaded)
+
+
 # ----------------------------------------------------------------------
 # Orbax native checkpoints
 def save_orbax(path: str, state: Any):
