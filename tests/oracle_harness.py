@@ -131,6 +131,13 @@ class _FakeSimulator:
         self.col = (self.col + int(round(heading[0]))) % 12
         self.row = min(max(self.row + int(round(elevation[0])), 0), 2)
 
+    # set to (hfov, vfov) radians to emulate the real MatterSim view
+    # frustum: navigableLocations then only lists neighbors inside the
+    # current view's frustum (populateNavigable semantics the reference
+    # sweep relies on, r2r/env.py:249-314).  None = every neighbor visible
+    # from every view (the graph-adjacency approximation).
+    VISIBILITY_FOV = None
+
     def getState(self):
         st = _State()
         st.scanId = self.scan
@@ -154,10 +161,14 @@ class _FakeSimulator:
             w = int(g.cand_local[self.vp, k])
             if w < 0:
                 continue
+            rel_h = _wrap_pi(float(g.cand_heading[self.vp, k]) - st.heading)
+            rel_e = float(g.cand_elev[self.vp, k]) - st.elevation
+            if self.VISIBILITY_FOV is not None:
+                hfov, vfov = self.VISIBILITY_FOV
+                if abs(rel_h) > hfov / 2.0 or abs(rel_e) > vfov / 2.0:
+                    continue
             locs.append(_Loc(
-                g.vp_ids[w], g.pos[w],
-                _wrap_pi(float(g.cand_heading[self.vp, k]) - st.heading),
-                float(g.cand_elev[self.vp, k]) - st.elevation,
+                g.vp_ids[w], g.pos[w], rel_h, rel_e,
                 float(g.cand_dist[self.vp, k])))
         st.navigableLocations = locs
         return [st]

@@ -44,6 +44,12 @@ def parse_args(argv=None):
 
     # data paths (postprocess_args equivalents, r2r/parser.py:159-217)
     p.add_argument("--connectivity_dir", default=None)
+    p.add_argument("--scanvp_cands_file", default=None,
+                   help="reference scanvp_candview_relangles.json candidate "
+                        "cache; overrides computed candidate tables")
+    p.add_argument("--sweep_visibility", action="store_true",
+                   help="apply the MatterSim view-frustum rule when "
+                        "computing candidates (36-view sweep semantics)")
     p.add_argument("--anno_dir", default=None)
     p.add_argument("--img_ft_file", default=None)
     p.add_argument("--aug_ft_file", default=None)
@@ -262,7 +268,15 @@ def build_runtime(args):
                 max_instr_len=cfg.max_instr_len, for_debug=args.for_debug)
         scan_ids = sorted({it["scan"] for s in splits.values() for it in s})
         graphs = load_connectivity(args.connectivity_dir, scan_ids,
-                                   max_cands=args.max_cands)
+                                   max_cands=args.max_cands,
+                                   sweep_visibility=args.sweep_visibility)
+        if args.scanvp_cands_file:
+            # exact candidate sets from the reference's sweep cache
+            # (scanvp_candview_relangles.json, r2r/parser.py:192) override
+            # the graph-adjacency approximation
+            from .sim.graph_sim import load_scanvp_cands
+
+            load_scanvp_cands(args.scanvp_cands_file, graphs)
         feat_db = ImageFeaturesDB(args.img_ft_file, cfg.image_feat_size)
         features = feat_db.as_packed_array(graphs, scan_ids)
         aug_features = None
@@ -894,6 +908,19 @@ def train_speaker(args, rt):
     train_items = to_items(rt["batchers"]["train"].data)
     L = min(cfg.max_instr_len, 60)
     rng = np.random.default_rng(args.seed)
+    # id -> surface-token decode for text-level SPICE (the speaker emits
+    # model-vocab ids; --tokenizer_vocab is the HF vocab.json for them)
+    id2tok = None
+    if args.tokenizer_vocab:
+        import json as _json
+
+        with open(args.tokenizer_vocab, encoding="utf-8") as f:
+            id2tok = {v: k for k, v in _json.load(f).items()}
+
+    def _decode(ids):
+        words = [id2tok.get(int(i), "") for i in ids]
+        return "".join(w.replace("Ġ", " ") for w in words).strip()
+
     best_bleu = -1.0
     for it in range(args.speaker_iters):
         idx = rng.integers(0, len(train_items), args.batch_size)
@@ -901,7 +928,11 @@ def train_speaker(args, rt):
         params, opt_state, loss = step_fn(params, opt_state, batch,
                                           jax.random.PRNGKey(it))
         if (it + 1) % max(args.log_every // 10, 1) == 0:
-            # BLEU gate on val splits
+            # BLEU + SPICE gates on val splits (the reference logs BLEU-4
+            # via reverie/spice_scorer.py:28; SPICE is the metric that
+            # filename promises — see eval/spice.py)
+            from .eval.spice import SpiceScorer, spice_from_ids
+
             hyps, refs = [], []
             for split in ("val_seen", "val_unseen"):
                 if split not in rt["batchers"]:
@@ -916,9 +947,19 @@ def train_speaker(args, rt):
                     hyps.append(seq)
                     refs.append([list(item["instr_encoding"])])
             bleu4, _ = corpus_bleu(hyps, refs, smooth=True)
+            if id2tok is not None:
+                # real vocab: decode to text and score scene-graph tuples
+                data = [{"Inference": [_decode(h)],
+                         "Ground Truth": [_decode(r[0])]}
+                        for h, r in zip(hyps, refs)]
+                spice, _ = SpiceScorer().compute_scores(data)
+            else:
+                spice = float(np.mean([spice_from_ids(h, r)
+                                       for h, r in zip(hyps, refs)])) \
+                    if hyps else 0.0
             write_to_record_file(
                 f"speaker iter {it+1}: loss {float(loss):.4f} "
-                f"bleu4 {bleu4:.4f}", record)
+                f"bleu4 {bleu4:.4f} spice {spice:.4f}", record)
             if bleu4 > best_bleu:
                 best_bleu = bleu4
                 save_orbax(os.path.abspath(os.path.join(

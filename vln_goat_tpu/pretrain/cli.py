@@ -37,6 +37,10 @@ def parse_args(argv=None):
                         "samples original/augmented 50/50 "
                         "(pretrain dataset.py:226-233)")
     p.add_argument("--connectivity_dir", default=None)
+    p.add_argument("--scanvp_cands_file", default=None,
+                   help="reference scanvp_candview_relangles.json cache "
+                        "(pretrain dataset.py:171); overrides computed "
+                        "candidate tables")
     p.add_argument("--tasks", nargs="+", default=["mlm", "sap", "cfp"])
     p.add_argument("--mix_ratio", nargs="+", type=int, default=[1, 1, 1])
     p.add_argument("--train_batch_size", type=int, default=48)
@@ -162,6 +166,10 @@ def build(args):
                                 ["train", "val_seen", "val_unseen"])
         scan_ids = sorted({it["scan"] for s in data.values() for it in s})
         graphs = load_connectivity(args.connectivity_dir, scan_ids)
+        if args.scanvp_cands_file:
+            from ..sim.graph_sim import load_scanvp_cands
+
+            load_scanvp_cands(args.scanvp_cands_file, graphs)
         db = ImageFeaturesDB(args.img_ft_file, cfg.image_feat_size)
         feats = db.as_packed_array(graphs, scan_ids)
         aug_feats = None

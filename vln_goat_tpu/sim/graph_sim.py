@@ -130,8 +130,47 @@ def _all_pairs(pos: np.ndarray, edges: Sequence[tuple]) -> tuple:
     return dist, hops, nexthop
 
 
+# MatterSim camera defaults (r2r/env.py:43-55): 640x480, VFOV 60 degrees.
+# HFOV follows from the aspect ratio.
+SWEEP_VFOV = math.radians(60.0)
+SWEEP_HFOV = 2.0 * math.atan(math.tan(SWEEP_VFOV / 2.0) * 640.0 / 480.0)
+
+
+def sweep_view_for(heading: float, elevation: float,
+                   hfov: float = SWEEP_HFOV, vfov: float = SWEEP_VFOV):
+    """Replicate the reference's 36-view candidate sweep for one direction
+    (make_candidate, r2r/env.py:249-314): among the discretized views whose
+    camera frustum contains the direction, pick the one minimizing
+    sqrt(rel_h^2 + rel_e^2); first (lowest view index) wins ties (the sweep
+    keeps a view only when strictly closer).  Returns (view_ix, rel_h,
+    rel_e) or None when no view sees the direction (MatterSim would drop
+    such a neighbor from every navigableLocations list)."""
+    best = None
+    for ix in range(36):
+        cam_h = float(G.VIEW_HEADINGS[ix])
+        cam_e = float(G.VIEW_ELEVATIONS[ix])
+        dh = math.atan2(math.sin(heading - cam_h), math.cos(heading - cam_h))
+        de = elevation - cam_e
+        if abs(dh) > hfov / 2.0 or abs(de) > vfov / 2.0:
+            continue
+        d = math.sqrt(dh * dh + de * de)
+        if best is None or d < best[0]:
+            best = (d, ix, dh, de)
+    if best is None:
+        return None
+    return best[1], best[2], best[3]
+
+
 def build_scan_graph(scan_id: str, vp_ids: List[str], pos: np.ndarray,
-                     edges: Sequence[tuple], max_cands: int = 16) -> ScanGraph:
+                     edges: Sequence[tuple], max_cands: int = 16,
+                     sweep_visibility: bool = False) -> ScanGraph:
+    """sweep_visibility=True applies the MatterSim view-frustum rule when
+    assigning candidate views: a neighbor outside every view's frustum is
+    dropped (exactly what the reference's 36-view sweep over
+    `navigableLocations` does); otherwise the nearest view is chosen by
+    angular distance like the sweep's argmin.  False (default) keeps the
+    graph-adjacency approximation: every neighbor is a candidate with the
+    globally nearest view."""
     V = len(vp_ids)
     K = max_cands
     cand_local = np.full((V, K), -1, np.int32)
@@ -148,17 +187,26 @@ def build_scan_graph(scan_id: str, vp_ids: List[str], pos: np.ndarray,
 
     for v in range(V):
         ns = sorted(set(nbrs[v]))
-        if len(ns) > K:
-            raise ValueError(
-                f"scan {scan_id} vp {v} has {len(ns)} neighbors > max_cands={K}")
-        for j, w in enumerate(ns):
+        j = 0
+        for w in ns:
             h, e, d = G.rel_heading_elevation_np(pos[v], pos[w])
+            if sweep_visibility:
+                hit = sweep_view_for(float(h), float(e))
+                if hit is None:
+                    continue            # invisible from every view: dropped
+                ptid = hit[0]
+            else:
+                ptid = G.nearest_view_index_np(h, e)
+            if j >= K:
+                raise ValueError(
+                    f"scan {scan_id} vp {v} has >{K} candidates")
             cand_local[v, j] = w
-            cand_ptid[v, j] = G.nearest_view_index_np(h, e)
+            cand_ptid[v, j] = ptid
             cand_heading[v, j] = h
             cand_elev[v, j] = e
             cand_dist[v, j] = d
             cand_mask[v, j] = True
+            j += 1
 
     dist, hops, nexthop = _all_pairs(pos, list(edges))
     return ScanGraph(scan_id, vp_ids, pos.astype(np.float32), cand_local,
@@ -166,8 +214,81 @@ def build_scan_graph(scan_id: str, vp_ids: List[str], pos: np.ndarray,
                      dist, hops, nexthop)
 
 
+# ----------------------------------------------------------------------
+# Reference candidate-cache interop: scanvp_candview_relangles.json maps
+# '{scan}_{vp}' -> {next_vp: [pointId, _, rel_h, rel_e]} where rel_h/rel_e
+# are offsets from the chosen view's center (consumers: r2r/env.py:244,
+# pretrain dataset.py:452-462 `heading = view_angle[0] + v[2]`; index 1 is
+# read by nothing).
+def load_scanvp_cands(path: str, graphs: Dict[str, ScanGraph]) -> int:
+    """Overwrite candidate tables from the reference's precomputed
+    candidate cache — the exact per-view-sweep candidate sets the authors
+    ship — so the real-data path does not depend on the graph-adjacency
+    approximation.  Returns the number of (scan, vp) entries applied."""
+    with open(path) as f:
+        cache = json.load(f)
+    applied = 0
+    for g in graphs.values():
+        K = g.cand_local.shape[1]
+        for v, vp_id in enumerate(g.vp_ids):
+            entry = cache.get(f"{g.scan_id}_{vp_id}")
+            if entry is None:
+                continue
+            g.cand_local[v] = -1
+            g.cand_ptid[v] = 0
+            g.cand_heading[v] = 0.0
+            g.cand_elev[v] = 0.0
+            g.cand_dist[v] = 0.0
+            g.cand_mask[v] = False
+            j = 0
+            for nxt, rec in entry.items():
+                if nxt not in g.index:
+                    continue
+                if j >= K:
+                    raise ValueError(
+                        f"{g.scan_id}_{vp_id}: >{K} cached candidates")
+                w = g.index[nxt]
+                ptid = int(rec[0])
+                g.cand_local[v, j] = w
+                g.cand_ptid[v, j] = ptid
+                g.cand_heading[v, j] = float(G.VIEW_HEADINGS[ptid]) + \
+                    float(rec[2])
+                g.cand_elev[v, j] = float(G.VIEW_ELEVATIONS[ptid]) + \
+                    float(rec[3])
+                g.cand_dist[v, j] = float(np.linalg.norm(g.pos[v] - g.pos[w]))
+                g.cand_mask[v, j] = True
+                j += 1
+            applied += 1
+    return applied
+
+
+def dump_scanvp_cands(graphs: Dict[str, ScanGraph]) -> dict:
+    """Export candidate tables in the reference cache format (the inverse
+    of load_scanvp_cands; index 1 carries the absolute heading, unread by
+    any consumer)."""
+    out = {}
+    for g in graphs.values():
+        for v, vp_id in enumerate(g.vp_ids):
+            entry = {}
+            for k in range(g.cand_local.shape[1]):
+                if not g.cand_mask[v, k]:
+                    continue
+                w = int(g.cand_local[v, k])
+                ptid = int(g.cand_ptid[v, k])
+                h = float(g.cand_heading[v, k])
+                e = float(g.cand_elev[v, k])
+                dh = h - float(G.VIEW_HEADINGS[ptid])
+                dh = math.atan2(math.sin(dh), math.cos(dh))
+                entry[g.vp_ids[w]] = [
+                    ptid, h, dh, e - float(G.VIEW_ELEVATIONS[ptid]),
+                ]
+            out[f"{g.scan_id}_{vp_id}"] = entry
+    return out
+
+
 def load_connectivity(connectivity_dir: str, scans: Sequence[str],
-                      max_cands: int = 16) -> Dict[str, ScanGraph]:
+                      max_cands: int = 16,
+                      sweep_visibility: bool = False) -> Dict[str, ScanGraph]:
     """Load Matterport connectivity JSONs (utils/data.py:76-101 semantics:
     only `included` nodes, edge iff both endpoints included and
     `unobstructed` both ways is not required — the reference keeps an edge
@@ -198,13 +319,15 @@ def load_connectivity(connectivity_dir: str, scans: Sequence[str],
                     if a != b:
                         edges.add((min(a, b), max(a, b)))
         out[scan] = build_scan_graph(scan, vp_ids, np.asarray(pos, np.float32),
-                                     sorted(edges), max_cands)
+                                     sorted(edges), max_cands,
+                                     sweep_visibility=sweep_visibility)
     return out
 
 
 def make_synthetic_scan(scan_id: str = "synth", num_vps: int = 24,
                         degree: int = 3, seed: int = 0,
-                        max_cands: int = 16) -> ScanGraph:
+                        max_cands: int = 16,
+                        sweep_visibility: bool = False) -> ScanGraph:
     """Random geometric connected graph standing in for a Matterport scan
     (test fixture; SURVEY.md section 4 test plan)."""
     rng = np.random.default_rng(seed)
@@ -238,4 +361,5 @@ def make_synthetic_scan(scan_id: str = "synth", num_vps: int = 24,
             edges.add((min(v, w), max(v, w)))
             parent[find(v)] = find(0)
     return build_scan_graph(scan_id, [f"{scan_id}_{i:04d}" for i in range(num_vps)],
-                            pos, sorted(edges), max_cands)
+                            pos, sorted(edges), max_cands,
+                            sweep_visibility=sweep_visibility)
