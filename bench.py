@@ -128,6 +128,48 @@ def bench_train(B=None):
     return B * iters / dt
 
 
+def bench_rxr_overflow(B=32, episodes=256):
+    """RxR-scale sampled rollouts (horizon 28, 96-node table, nDTW expert):
+    measure node-table pressure — spill events per episode (policy 'spill')
+    and dropped candidates (must be 0 with spill).  Sampled feedback at
+    random params wanders maximally: a worst-case bound for the table."""
+    import jax.numpy as jnp
+
+    from vln_goat_tpu.config import GoatConfig
+    from vln_goat_tpu.models.goat import GoatModel
+    from vln_goat_tpu.rollout.env import EpisodeBatcher, make_synthetic_dataset
+    from vln_goat_tpu.rollout.rollout import NavRollout, RolloutConfig
+    from vln_goat_tpu.rollout.world import NavWorld
+    from vln_goat_tpu.sim.graph_sim import make_synthetic_scan
+    from vln_goat_tpu.train.params import init_goat_params
+
+    cfg = GoatConfig.for_dataset("rxr")
+    rcfg = RolloutConfig(num_nodes=96, horizon=28, feat_dim=768,
+                         expert_policy="ndtw", overflow_policy="spill")
+    scans = [make_synthetic_scan(f"x{i}", num_vps=120, degree=4, seed=i)
+             for i in range(4)]
+    world = NavWorld.build(scans, feat_dim=768, seed=0)
+    model = GoatModel(cfg, dtype=jnp.bfloat16)
+    params = init_goat_params(model, jax.random.PRNGKey(0), max_cands=16,
+                              num_nodes=rcfg.num_nodes)
+    ro = NavRollout(model, world, rcfg)
+    graphs = {g.scan_id: g for g in scans}
+    data = make_synthetic_dataset(graphs, episodes, vocab_size=cfg.vocab_size,
+                                  path_len=(8, 14), seed=2)
+    batcher = EpisodeBatcher(data, graphs, [g.scan_id for g in scans],
+                             batch_size=B, max_instr_len=120, max_gt_len=15)
+    fn = ro.jitted(feedback="sample", train_ml=False, deterministic=True)
+    rng = jax.random.PRNGKey(0)
+    tot_spill = tot_drop = n = 0
+    for i in range(episodes // B):
+        _, batch = batcher.next_batch()
+        out = fn(params, batch, jax.random.fold_in(rng, i))
+        tot_spill += int(jax.device_get(out["spilled_n"]).sum())
+        tot_drop += int(jax.device_get(out["overflow_n"]).sum())
+        n += B
+    return tot_spill / n, tot_drop / n
+
+
 def main():
     decode = bench_decode()
     print(json.dumps({
@@ -135,6 +177,16 @@ def main():
         "value": round(decode, 2),
         "unit": "episodes/s",
         "vs_baseline": round(decode / REF_DECODE_EPS, 2),
+    }), flush=True)
+    spill_rate, drop_rate = bench_rxr_overflow()
+    print(json.dumps({
+        "metric": "rxr_node_table_spills_per_episode",
+        "value": round(spill_rate, 4),
+        "unit": "spills/episode",
+        "dropped_per_episode": round(drop_rate, 4),
+        "note": "96-node table, horizon 28, sampled rollouts; spill "
+                "policy evicts farthest unvisited (reference GraphMap is "
+                "unbounded)",
     }), flush=True)
     train = bench_train()
     print(json.dumps({

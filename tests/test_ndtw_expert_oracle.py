@@ -121,8 +121,9 @@ def test_ndtw_expert_matches_reference_expert():
                                                rtol=1e-5)
                     checked += 1
             # extend the flattened trajectory with the traversed segment
+            # (segs record local viewpoint ids directly)
             for k in range(segs.shape[2]):
-                n = int(segs[t, b, k])
-                if n >= 0:
-                    flat.append(int(final_vp[b, n]))
+                v = int(segs[t, b, k])
+                if v >= 0:
+                    flat.append(v)
     assert checked >= 20, checked

@@ -82,6 +82,11 @@ def parse_args(argv=None):
     p.add_argument("--num_l_layers", type=int, default=6)
     p.add_argument("--num_pano_layers", type=int, default=2)
     p.add_argument("--num_x_layers", type=int, default=3)
+    # width overrides (fixture-scale runs / ablations; defaults are the
+    # reference architecture, vlnbert_init.py:89-155)
+    p.add_argument("--hidden_size", type=int, default=None)
+    p.add_argument("--num_attention_heads", type=int, default=None)
+    p.add_argument("--intermediate_size", type=int, default=None)
     p.add_argument("--image_feat_size", type=int, default=768)
     p.add_argument("--obj_feat_size", type=int, default=0)
     p.add_argument("--angle_feat_size", type=int, default=4)
@@ -180,6 +185,12 @@ def build_runtime(args):
         do_add_method=args.do_add_method,
         mode=args.mode,
     )
+    if args.hidden_size:
+        cfg = cfg.replace(hidden_size=args.hidden_size)
+    if args.num_attention_heads:
+        cfg = cfg.replace(num_attention_heads=args.num_attention_heads)
+    if args.intermediate_size:
+        cfg = cfg.replace(intermediate_size=args.intermediate_size)
     if args.obj_feat_size:
         cfg = cfg.replace(obj_feat_size=args.obj_feat_size)
     if args.feat_dropout is not None:

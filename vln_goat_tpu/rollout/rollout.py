@@ -51,6 +51,13 @@ class RolloutConfig:
     ndtw_future_len: int = 10  # DTW lookahead hops per candidate
     feat_dim: int = 768
     angle_feat_size: int = 4
+    # full-table policy (the reference GraphMap is unbounded,
+    # models/graph_utils.py:91): 'spill' reuses the slot of the
+    # farthest-from-current unvisited node for each candidate that would
+    # not fit (never evicting the start node, the current node, a visited
+    # node, or a node matched by this step's candidates); 'drop' discards
+    # the candidate.  Both count the event (spilled_n / overflow_n).
+    overflow_policy: str = "spill"  # spill | drop
 
 
 BIG = 1e9
@@ -138,6 +145,8 @@ class NavRollout:
             # (reference GraphMap is unbounded; surfacing this makes the
             # capacity degradation observable instead of silent)
             overflow_n=jnp.zeros((B,), jnp.int32),
+            # candidates that displaced a far unvisited node (spill policy)
+            spilled_n=jnp.zeros((B,), jnp.int32),
         )
         if self.world.num_objs > 0 and self.mcfg.is_objnav:
             st["og_oid"] = jnp.full((B, N1), -1, jnp.int32)
@@ -196,13 +205,71 @@ class NavRollout:
         overflow = idx_new >= r.num_nodes
         cidx = jnp.where(exists, idx_exist,
                          jnp.where(isnew & ~overflow, idx_new, TRASH)).astype(jnp.int32)
+
+        edist, ehops, enext = st["edist"], st["ehops"], st["enext"]
+        spilled = jnp.zeros((B,), jnp.int32)
+        emb_clear = None
+        need = isnew & overflow
+        if r.overflow_policy == "spill":
+            # reuse the slots of the farthest-from-arrival unvisited nodes
+            # for candidates that would not fit (the reference GraphMap is
+            # unbounded; 'drop' would make those nodes permanently
+            # unreachable).  Never evicted: start (slot 0), the arrival
+            # node, visited nodes, slots matched by this step's candidates.
+            N = r.num_nodes
+            nslot = jnp.arange(N)[None, :]
+            matched = jnp.zeros((B, N1), bool).at[
+                bidx[:, None], jnp.where(exists, idx_exist, TRASH)
+            ].set(True)[:, :N]
+            evictable = (nslot < st["n_nodes"][:, None]) & (nslot != 0) \
+                & (nslot != arr[:, None]) & ~matched
+            d_arr = edist[bidx, arr, :N]
+            # two-tier preference: ANY unvisited (farthest first) before
+            # ANY visited (last resort — loses that node's stop/backtrack
+            # record, but keeps the current step's candidates navigable)
+            vis = st["visited"][:, :N]
+            score = jnp.where(evictable,
+                              jnp.where(vis, d_arr - 2.0 * INF_DIST, d_arr),
+                              -jnp.inf)
+            order = jnp.argsort(-score, axis=1).astype(jnp.int32)  # far 1st
+            ov_rank = jnp.cumsum(need, axis=1) - 1
+            n_evict = jnp.sum(evictable, axis=1)
+            slot_for = order[bidx[:, None], jnp.clip(ov_rank, 0, N - 1)]
+            ok_spill = need & (ov_rank < n_evict[:, None])
+            cidx = jnp.where(ok_spill, slot_for, cidx).astype(jnp.int32)
+            need = need & ~ok_spill            # only true drops remain
+            spilled = jnp.sum(ok_spill, axis=1)
+
+            # clear the evicted slots' episodic state: their distance
+            # rows/cols, any next-hop pointer THROUGH them (stale routes
+            # via a reused slot would splice a wrong viewpoint into the
+            # recorded trajectory; severing them makes path expansion
+            # truncate instead — re-relaxed by later arrivals), and their
+            # embeddings/bookkeeping.  Deeper stale paths (evictee as a
+            # mid-path hop of an unrelated pair) keep a stale distance
+            # until re-relaxation: a documented approximation of the
+            # unbounded reference.
+            tgt_e = jnp.where(ok_spill, slot_for, TRASH)
+            er = jnp.zeros((B, N1), bool).at[bidx[:, None], tgt_e].set(
+                ok_spill)
+            er = er.at[:, TRASH].set(False)
+            eye = jnp.eye(N1)
+            thru = er[bidx[:, None, None], jnp.clip(enext, 0, N1 - 1)]
+            cm = er[:, None, :] | er[:, :, None] | thru
+            edist = jnp.where(cm, (INF_DIST * (1 - eye))[None], edist)
+            ehops = jnp.where(cm, 0.0, ehops)
+            diag_next = (jnp.arange(N1, dtype=jnp.int32)[None, :]
+                         * jnp.eye(N1, dtype=jnp.int32)
+                         - (1 - jnp.eye(N1, dtype=jnp.int32)))[None]
+            enext = jnp.where(cm, diag_next, enext)
+            emb_clear = er
+
         write = cmask & (cidx != TRASH)
         node_vp = st["node_vp"].at[bidx[:, None], cidx].set(
             jnp.where(write, cands["local"], st["node_vp"][bidx[:, None], cidx]))
         n_nodes = st["n_nodes"] + jnp.sum(isnew & ~overflow, axis=1)
 
         # --- add edges arr<->cand (FloydGraph.add_edge: keep if shorter)
-        edist, ehops, enext = st["edist"], st["ehops"], st["enext"]
         d_k = cands["dist"]
         old = edist[bidx[:, None], arr[:, None], cidx]
         upd = write & (d_k < old)
@@ -231,11 +298,23 @@ class NavRollout:
                           enext)
 
         visited = st["visited"].at[bidx, arr].set(st["visited"][bidx, arr] | act)
-        overflow_n = st["overflow_n"] + jnp.sum(isnew & overflow, axis=1)
-        return {**st, "node_vp": node_vp, "n_nodes": jnp.where(act, n_nodes,
-                                                               st["n_nodes"]),
-                "visited": visited, "edist": edist, "ehops": ehops,
-                "enext": enext, "overflow_n": overflow_n}
+        out = {**st, "node_vp": node_vp,
+               "n_nodes": jnp.where(act, n_nodes, st["n_nodes"]),
+               "visited": visited, "edist": edist, "ehops": ehops,
+               "enext": enext,
+               "overflow_n": st["overflow_n"] + jnp.sum(need, axis=1),
+               "spilled_n": st["spilled_n"] + spilled}
+        if emb_clear is not None:
+            # evicted slots start fresh: no inherited embeddings/bookkeeping
+            keep = ~emb_clear
+            out["embed_sum"] = st["embed_sum"] * keep[..., None]
+            out["embed_cnt"] = st["embed_cnt"] * keep
+            out["step_id"] = st["step_id"] * keep
+            out["stop_prob"] = jnp.where(emb_clear, -jnp.inf, st["stop_prob"])
+            out["visited"] = out["visited"] & keep
+            if "og_oid" in st:
+                out["og_oid"] = jnp.where(emb_clear, -1, st["og_oid"])
+        return out
 
     # ------------------------------------------------------------------
     def _pano_inputs(self, st, batch):
@@ -782,6 +861,14 @@ class NavRollout:
                     (pc["local"] == st["node_vp"][bidx, tgt_node][:, None])
                     & pc["mask"], axis=1)
                 new_view = pc["ptid"][bidx, pk]
+                # seg/action record LOCAL VIEWPOINT ids resolved BEFORE the
+                # arrival update — slot indices decoded through the final
+                # table (or even post-arrive) would read the wrong node
+                # once the spill policy reuses a slot
+                seg_vp = jnp.where(seg >= 0, st["node_vp"][
+                    bidx[:, None], jnp.clip(seg, 0, r.num_nodes)], -1)
+                act_vp = jnp.where(moves, st["node_vp"][bidx, tgt_node], -1)
+
                 st = {**st,
                       "view_ix": jnp.where(moves, new_view, st["view_ix"]),
                       "cur": jnp.where(moves, tgt_node, st["cur"]),
@@ -791,9 +878,9 @@ class NavRollout:
                 st = self._arrive(st, batch, st["cur"], skip=~moves)
 
                 # records are float32 regardless of the compute dtype so
-                # the early-exit skip branch (and the loss sum) are stable
-                rec = dict(action_node=jnp.where(moves, tgt_node, -1),
-                           seg=seg, seg_hops=seg_hops,
+                # the early-exit skip branch (and the loss sum) are stable.
+                rec = dict(action_node=act_vp,
+                           seg=seg_vp, seg_hops=seg_hops,
                            target=target,
                            logits_stop=logits[:, 0].astype(jnp.float32),
                            just_ended=just_ended,
@@ -946,7 +1033,7 @@ class NavRollout:
                 node_vp=st["node_vp"], stop_node=best_stop,
                 back_seg=back, back_hops=st["ehops"][bidx, st["cur"], best_stop],
                 final_cur=st["cur"], n_nodes=st["n_nodes"],
-                overflow_n=st["overflow_n"],
+                overflow_n=st["overflow_n"], spilled_n=st["spilled_n"],
             )
             if "og_oid" in st:
                 # predicted object id at the chosen stop node
@@ -998,8 +1085,11 @@ def trajectory_to_json(batch_np: Dict[str, np.ndarray],
 def assemble_trajectories(batch_np: Dict[str, np.ndarray],
                           out_np: Dict[str, np.ndarray],
                           include_backtrack: bool = True) -> list:
-    """Host-side: recorded node segments -> predicted paths of local vp ids
-    (list of lists, matching traj[i]['path'] flattened)."""
+    """Host-side: recorded segments -> predicted paths of local vp ids
+    (list of lists, matching traj[i]['path'] flattened).  Step segments
+    already carry vp ids (recorded pre-arrive, spill-safe); the final
+    backtrack is slot-based and decoded through the final node table
+    (safe: no arrivals happen after it)."""
     T, B, P = out_np["segs"].shape
     node_vp = out_np["node_vp"]
     paths = []
@@ -1008,10 +1098,10 @@ def assemble_trajectories(batch_np: Dict[str, np.ndarray],
         for t in range(T):
             hops = int(out_np["seg_hops"][t, b])
             for i in range(min(hops, P)):
-                n = out_np["segs"][t, b, i]
-                if n < 0:
+                v = out_np["segs"][t, b, i]
+                if v < 0:
                     break
-                path.append(int(node_vp[b, n]))
+                path.append(int(v))
         if include_backtrack:
             hops = int(out_np["back_hops"][b])
             for i in range(min(hops, out_np["back_seg"].shape[1])):

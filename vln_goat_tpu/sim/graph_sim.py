@@ -264,8 +264,10 @@ def load_scanvp_cands(path: str, graphs: Dict[str, ScanGraph]) -> int:
 
 def dump_scanvp_cands(graphs: Dict[str, ScanGraph]) -> dict:
     """Export candidate tables in the reference cache format (the inverse
-    of load_scanvp_cands; index 1 carries the absolute heading, unread by
-    any consumer)."""
+    of load_scanvp_cands).  Value layout documented at
+    pretrain_src/data/dataset.py:169: [viewidx, rel_angle_dist, rel_heading,
+    rel_elevation]; index 1 (the sweep's angular distance) is read by no
+    consumer."""
     out = {}
     for g in graphs.values():
         for v, vp_id in enumerate(g.vp_ids):
@@ -279,8 +281,9 @@ def dump_scanvp_cands(graphs: Dict[str, ScanGraph]) -> dict:
                 e = float(g.cand_elev[v, k])
                 dh = h - float(G.VIEW_HEADINGS[ptid])
                 dh = math.atan2(math.sin(dh), math.cos(dh))
+                de = e - float(G.VIEW_ELEVATIONS[ptid])
                 entry[g.vp_ids[w]] = [
-                    ptid, h, dh, e - float(G.VIEW_ELEVATIONS[ptid]),
+                    ptid, math.sqrt(dh * dh + de * de), dh, de,
                 ]
             out[f"{g.scan_id}_{vp_id}"] = entry
     return out

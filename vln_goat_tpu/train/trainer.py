@@ -130,6 +130,7 @@ def make_train_step(rollout: NavRollout, tx,
             # dropped-candidate counter: nonzero means the fixed node table
             # (RolloutConfig.num_nodes) is too small for these episodes
             metrics["node_overflow"] = jnp.sum(out_s["overflow_n"])
+            metrics["node_spilled"] = jnp.sum(out_s["spilled_n"])
         elif train_alg == "dagger_fused":
             out = fused_fn(params, batch, r1)
             is_t = batch["is_teacher"]
