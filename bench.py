@@ -38,7 +38,10 @@ REF_TRAIN_EPS = 25.5   # measured host-loop ceiling (B/host_s), see above
 REF_DECODE_EPS = 51.0  # one rollout per iteration instead of two
 
 
-def build(B, bf16=True):
+def build(B, bf16=True, real_shapes=False):
+    """real_shapes=True uses R2R val_unseen-like shapes (200-token
+    instructions, gt paths 5-10) instead of the synthetic-average 60/4-7 —
+    quantifying the shape-realism gap the synthetic headline hides."""
     import jax.numpy as jnp
 
     from vln_goat_tpu.config import GoatConfig
@@ -62,10 +65,14 @@ def build(B, bf16=True):
                               num_nodes=rcfg.num_nodes)
     ro = NavRollout(model, world, rcfg)
     graphs = {g.scan_id: g for g in scans}
+    instr_len, plen, gt_cap = (200, (5, 10), 11) if real_shapes \
+        else (60, (4, 7), 8)
     data = make_synthetic_dataset(graphs, 512, vocab_size=cfg.vocab_size,
-                                  path_len=(4, 7), seed=1)
+                                  path_len=plen, seed=1,
+                                  max_instr_len=instr_len)
     batcher = EpisodeBatcher(data, graphs, [g.scan_id for g in scans],
-                             batch_size=B, max_instr_len=60, max_gt_len=8)
+                             batch_size=B, max_instr_len=instr_len,
+                             max_gt_len=gt_cap)
     return model, params, ro, batcher
 
 
@@ -88,7 +95,7 @@ def bench_decode(B=None):
     return B * iters / dt
 
 
-def bench_train(B=None):
+def bench_train(B=None, real_shapes=False):
     """DAgger optimizer step (teacher rollout at the short gt-bounded
     horizon + sampled rollout at the full horizon + backward + AdamW;
     GOAT_BENCH_ALG=dagger_fused benches the single-scan variant).
@@ -100,14 +107,16 @@ def bench_train(B=None):
     from vln_goat_tpu.train import trainer as TR
 
     B = B or int(os.environ.get("GOAT_BENCH_TRAIN_B", "64"))
-    _, params, ro, batcher = build(B)
+    _, params, ro, batcher = build(B, real_shapes=real_shapes)
     tx = TR.make_optimizer(lr=2e-5)
     state = TR.init_train_state(params, tx)
     alg = os.environ.get("GOAT_BENCH_ALG", "dagger")
     step = jax.jit(TR.make_train_step(
         ro, tx, train_alg=alg, ml_weight=0.2,
         remat=os.environ.get("GOAT_BENCH_REMAT", "full"),
-        teacher_horizon=None if alg == "dagger_fused" else 8))
+        # teacher scan at the batcher's gt cap is loss-identical
+        teacher_horizon=None if alg == "dagger_fused"
+        else batcher.max_gt_len))
     rng = jax.random.PRNGKey(0)
 
     def nb():
@@ -187,6 +196,15 @@ def main():
         "note": "96-node table, horizon 28, sampled rollouts; spill "
                 "policy evicts farthest unvisited (reference GraphMap is "
                 "unbounded)",
+    }), flush=True)
+    real = bench_train(real_shapes=True)
+    print(json.dumps({
+        "metric": "r2r_dagger_finetune_eps_per_sec_real_shapes",
+        "value": round(real, 2),
+        "unit": "episodes/s",
+        "vs_baseline": round(real / REF_TRAIN_EPS, 2),
+        "note": "val_unseen-like shapes: 200-token instructions, gt 5-10 "
+                "(the headline line uses synthetic-average 60-token/4-7)",
     }), flush=True)
     train = bench_train()
     print(json.dumps({

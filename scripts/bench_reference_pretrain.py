@@ -157,7 +157,7 @@ def main():
         hidden_act="gelu", hidden_dropout_prob=0.1,
         attention_probs_dropout_prob=0.1, initializer_range=0.02,
         is_decoder=False, add_cross_attention=False,
-        chunk_size_feed_forward=0, num_l_layers=6, num_pano_layers=2,
+        chunk_size_feed_forward=0, num_l_layers=6, num_pano_layers=2, num_top_layer=3,
         num_x_layers=3, num_hidden_layers=6, name="R2R",
         max_action_steps=100, image_feat_size=768, angle_feat_size=4,
         obj_feat_size=0, obj_name_vocab_size=45, use_obj_name=False,
@@ -167,9 +167,13 @@ def main():
         z_cross_attn=False, pretrain_tasks=TASKS, image_prob_size=0,
         obj_prob_size=0, cfp_temperature=1.0, empty_cache=False,
         cuda_first_device=0, use_lang2visn_attn=False, debug=False,
-        max_instr_len=100,
+        max_instr_len=100, correct_heading=True, cfp_extra_head=True,
     ).items():
         setattr(cfg, k, v)
+
+    # the reference's forward_cfp hardcodes .cuda() on its InfoNCE targets
+    # (pretrain_goat.py:520); neutralize for the CPU timing rig
+    torch.Tensor.cuda = lambda self, *a, **k: self
 
     torch.manual_seed(0)
     model = GlocalTextPathCMTPreTraining(cfg).train()

@@ -74,11 +74,17 @@ class AttentionCore(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, q_in, kv_in, bias=None, deterministic=True):
+    def __call__(self, q_in, kv_in, bias=None, deterministic=True,
+                 weights_only=False):
         d = self.num_heads * self.head_dim
         qp = _ProjWeights(d, self.dtype, name="query")
         kp = _ProjWeights(d, self.dtype, name="key")
         vp = _ProjWeights(d, self.dtype, name="value")
+        if weights_only:
+            wq, bq = qp(q_in, weights_only=True)
+            wk, bk = kp(kv_in, weights_only=True)
+            wv, bv = vp(kv_in, weights_only=True)
+            return wq, bq, wk, bk, wv, bv
 
         # the fused kernel wins for mid-size query blocks (pano 52,
         # gmap 50) and loses for tiny ones (local branch 18) where XLA's
@@ -119,10 +125,37 @@ class AttentionCore(nn.Module):
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(self.head_dim)
         if bias is not None:
             scores = scores + bias.astype(scores.dtype)
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        # reference parity: softmax in float32 (Bert_backbone.py).  The
+        # env flag measures the cost of that upcast on TPU (perf probe
+        # only — bf16 softmax is a numerics divergence, keep it off).
+        sm_dtype = jnp.bfloat16 if os.environ.get("GOAT_BF16_SOFTMAX") \
+            else jnp.float32
+        probs = jax.nn.softmax(scores.astype(sm_dtype), axis=-1).astype(self.dtype)
         probs = nn.Dropout(self.dropout_rate)(probs, deterministic=deterministic)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         return ctx.reshape(B, Lq, d)
+
+
+class _LNWeights(nn.Module):
+    """nn.LayerNorm-compatible (same param tree {scale, bias}, f32 stats,
+    fast variance) that can also hand out its raw weights for the fused
+    Pallas attention block."""
+
+    epsilon: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, weights_only: bool = False):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        if weights_only:
+            return scale, bias
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(x32 * x32, axis=-1, keepdims=True) - mu * mu, 0.0)
+        y = (x32 - mu) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
 
 
 class BertSelfOutput(nn.Module):
@@ -130,11 +163,18 @@ class BertSelfOutput(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, residual, deterministic=True):
+    def __call__(self, hidden, residual, deterministic=True,
+                 weights_only=False):
         c = self.config
-        h = _dense(c.hidden_size, "dense", self.dtype)(hidden)
+        dense = _ProjWeights(c.hidden_size, self.dtype, name="dense")
+        ln = _LNWeights(c.layer_norm_eps, self.dtype, name="LayerNorm")
+        if weights_only:
+            wo, bo = dense(hidden, weights_only=True)
+            gamma, beta = ln(hidden, weights_only=True)
+            return wo, bo, gamma, beta
+        h = dense(hidden)
         h = nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
-        h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="LayerNorm", dtype=self.dtype)(h + residual)
+        h = ln(h + residual)
         # layer-boundary tensor: the only thing remat='bounds' saves
         return _ckpt_name(h, "blk")
 
@@ -147,6 +187,53 @@ class BertAttention(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, kv=None, bias=None, deterministic=True):
+        c = self.config
+        kv_in = hidden if kv is None else kv
+        # fully fused sublayer (ops/attention.pallas_fused_attn_block):
+        # attention + out-proj + dropout + residual + LayerNorm in one
+        # kernel — the elementwise tail between matmuls is where the
+        # profiled step spends ~3x the MXU time.  Same Lq gate as the
+        # attention-only kernel; GOAT_PALLAS_BLOCK=0 falls back to it.
+        min_lq = int(os.environ.get("GOAT_PALLAS_MIN_LQ", "32"))
+        use_block = (getattr(c, "use_pallas_attention", False)
+                     and os.environ.get("GOAT_PALLAS_BLOCK", "1") == "1"
+                     and hidden.shape[1] >= min_lq)
+        if use_block:
+            from ..ops.attention import _default_interpret, \
+                pallas_fused_attn_block
+
+            needs_drop = not deterministic and (
+                c.attention_probs_dropout_prob > 0.0
+                or c.hidden_dropout_prob > 0.0)
+            if not needs_drop or not _default_interpret():
+                core = AttentionCore(
+                    c.num_attention_heads,
+                    c.hidden_size // c.num_attention_heads,
+                    c.attention_probs_dropout_prob, self.dtype,
+                    use_pallas=True, name="self")
+                wq, bq, wk, bk, wv, bv = core(hidden, kv_in,
+                                              weights_only=True)
+                out_mod = BertSelfOutput(c, self.dtype, name="output")
+                wo, bo, gamma, beta = out_mod(hidden, hidden,
+                                              weights_only=True)
+                adrop = hdrop = 0.0
+                seed = None
+                if needs_drop:
+                    adrop = c.attention_probs_dropout_prob
+                    hdrop = c.hidden_dropout_prob
+                    seed = jax.random.randint(
+                        self.make_rng("dropout"), (hidden.shape[0],),
+                        0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+                h = pallas_fused_attn_block(
+                    hidden.astype(self.dtype), kv_in.astype(self.dtype),
+                    wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta, bias,
+                    num_heads=c.num_attention_heads, attn_dropout=adrop,
+                    hidden_dropout=hdrop, ln_eps=c.layer_norm_eps,
+                    seed=seed)
+                return _ckpt_name(h, "blk")
+        return self._unfused(hidden, kv_in, bias, deterministic)
+
+    def _unfused(self, hidden, kv, bias, deterministic):
         c = self.config
         kv = hidden if kv is None else kv
         ctx = AttentionCore(
@@ -162,9 +249,12 @@ class BertIntermediate(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden):
+    def __call__(self, hidden, weights_only=False):
         c = self.config
-        h = _dense(c.intermediate_size, "dense", self.dtype)(hidden)
+        dense = _ProjWeights(c.intermediate_size, self.dtype, name="dense")
+        if weights_only:
+            return dense(hidden, weights_only=True)
+        h = dense(hidden)
         # named so remat='ffn' (rollout.build_rollout) can exclude the
         # 4x-wide tensors from the saved set and recompute only these
         h = _ckpt_name(h, "ffn_wide")
@@ -177,13 +267,56 @@ class BertOutput(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, residual, deterministic=True):
+    def __call__(self, hidden, residual, deterministic=True,
+                 weights_only=False):
         c = self.config
-        h = _dense(c.hidden_size, "dense", self.dtype)(hidden)
+        dense = _ProjWeights(c.hidden_size, self.dtype, name="dense")
+        ln = _LNWeights(c.layer_norm_eps, self.dtype, name="LayerNorm")
+        if weights_only:
+            # dense probes with `hidden` (intermediate width), the LN with
+            # `residual` (hidden width)
+            w2, b2 = dense(hidden, weights_only=True)
+            gamma, beta = ln(residual, weights_only=True)
+            return w2, b2, gamma, beta
+        h = dense(hidden)
         h = nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
-        h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="LayerNorm", dtype=self.dtype)(h + residual)
+        h = ln(h + residual)
         # layer-boundary tensor: the only thing remat='bounds' saves
         return _ckpt_name(h, "blk")
+
+
+def _ffn_sublayer(parent, c, dtype, h, deterministic):
+    """FFN sublayer shared by BertLayer/BertCrossLayer: fused Pallas
+    kernel (attention-block conditions) or the unfused XLA path."""
+    inter = BertIntermediate(c, dtype, name="intermediate")
+    out_mod = BertOutput(c, dtype, name="output")
+    min_lq = int(os.environ.get("GOAT_PALLAS_MIN_LQ", "32"))
+    use_block = (getattr(c, "use_pallas_attention", False)
+                 and os.environ.get("GOAT_PALLAS_BLOCK", "1") == "1"
+                 and h.shape[1] >= min_lq and c.hidden_act == "gelu")
+    if use_block:
+        from ..ops.attention import _default_interpret, \
+            pallas_fused_ffn_block
+
+        needs_drop = not deterministic and c.hidden_dropout_prob > 0.0
+        if not needs_drop or not _default_interpret():
+            w1, b1 = inter(h, weights_only=True)
+            # BertOutput's dense maps intermediate_size -> hidden; the
+            # weights_only probe must carry the intermediate width
+            probe = jnp.zeros((1, c.intermediate_size), h.dtype)
+            w2, b2, gamma, beta = out_mod(probe, h, weights_only=True)
+            hdrop = 0.0
+            seed = None
+            if needs_drop:
+                hdrop = c.hidden_dropout_prob
+                seed = jax.random.randint(
+                    parent.make_rng("dropout"), (h.shape[0],),
+                    0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+            o = pallas_fused_ffn_block(
+                h.astype(dtype), w1, b1, w2, b2, gamma, beta,
+                hidden_dropout=hdrop, ln_eps=c.layer_norm_eps, seed=seed)
+            return _ckpt_name(o, "blk")
+    return out_mod(inter(h), h, deterministic)
 
 
 class BertLayer(nn.Module):
@@ -197,8 +330,7 @@ class BertLayer(nn.Module):
         c = self.config
         attn_out = BertAttention(c, self.dtype, name="attention")(
             hidden, None, bias, deterministic)
-        inter = BertIntermediate(c, self.dtype, name="intermediate")(attn_out)
-        return BertOutput(c, self.dtype, name="output")(inter, attn_out, deterministic)
+        return _ffn_sublayer(self, c, self.dtype, attn_out, deterministic)
 
 
 class BertCrossLayer(nn.Module):
@@ -218,8 +350,7 @@ class BertCrossLayer(nn.Module):
             hidden, None, self_bias, deterministic)
         h = BertAttention(c, self.dtype, name="crossattention")(
             h, enc_hidden, cross_bias, deterministic)
-        inter = BertIntermediate(c, self.dtype, name="intermediate")(h)
-        return BertOutput(c, self.dtype, name="output")(inter, h, deterministic)
+        return _ffn_sublayer(self, c, self.dtype, h, deterministic)
 
 
 class CrossmodalEncoder(nn.Module):

@@ -292,10 +292,20 @@ def train(args):
     meters = {t: RunningMeter(t) for t in args.tasks}
     best_facc = -1.0
 
+    # overlap host batch assembly with device steps (PrefetchLoader
+    # analogue, loader.py:90 — profiled: the python batch builder, not the
+    # device step, is the pretrain throughput ceiling on this one-core host)
+    from ..data.prefetch import PrefetchIterator
+
+    step_iter = iter(range(args.num_train_steps))
+
+    def produce():
+        s = next(step_iter)              # StopIteration ends the stream
+        t = sampler.task_at(s)
+        return s, t, sample_batch("train", t, s)
+
     t0 = time.time()
-    for step in range(args.num_train_steps):
-        task = sampler.task_at(step)
-        batch = sample_batch("train", task, step)
+    for step, task, batch in PrefetchIterator(produce, depth=2):
         if mesh is not None:
             from ..parallel.mesh import shard_batch
 

@@ -86,6 +86,13 @@ class TrajBatchBuilder:
         self.mlm_prob = mlm_prob
         self.mrc_prob = mrc_prob
         self.objnav = objnav
+        # batch step-dim bucketing: stack per-batch arrays only up to the
+        # batch's longest trajectory (rounded up to step_bucket) instead of
+        # max_steps — the dense [B, max_steps, Lp, Df] copy dominates host
+        # batch-build time (profiled: the builder, not the device step, is
+        # the pretrain throughput ceiling).  A few jit shape buckets trade
+        # for ~2x less host bytes.  0 disables (always max_steps).
+        self.step_bucket = 2
         # REVERIE object store, same [Vtot, Lo, ...] layout as
         # rollout.world.NavWorld: feat / loc (angle+box) / dir (absolute
         # heading+elev) / mask / name / oid.  Pretrain obj angle features
@@ -477,7 +484,18 @@ class TrajBatchBuilder:
                 ex = self.add_mrc(ex, it["scan"], int(ex["end_vp"]))
             exs.append(ex)
         keys = exs[0].keys()
-        out = {k: np.stack([e[k] for e in exs], 0) for k in keys}
+        # step-dim bucket: slice before stacking so padding steps are
+        # never copied (see __init__.step_bucket)
+        cap = self.sh.max_steps
+        if self.step_bucket:
+            t_max = max(int(e["traj_len"]) for e in exs)
+            cap = min(self.sh.max_steps,
+                      -(-t_max // self.step_bucket) * self.step_bucket)
+        step_keys = {"traj_view_img_fts", "traj_loc_fts", "traj_nav_types",
+                     "traj_view_masks", "step_masks", "cand_to_gmap",
+                     "traj_obj_img_fts", "traj_obj_masks", "traj_obj_names"}
+        out = {k: np.stack([e[k][:cap] if k in step_keys else e[k]
+                            for e in exs], 0) for k in keys}
         B = len(exs)
         for k, v in self.zdicts.items():
             v = np.asarray(v, np.float32)
