@@ -224,30 +224,42 @@ class TrajBatchBuilder:
             obj_masks = np.zeros((sh.max_steps, Lo), bool)
             obj_names = np.zeros((sh.max_steps, Lo), np.int32)
 
-        cand_lists = []
+        # ---- vectorized pano packing over all T steps at once (the
+        # per-step python loop was the pretrain host-throughput ceiling;
+        # semantics identical to the loop it replaces) ----
+        tv = np.asarray(traj, np.int64)
+        feats_T = np.stack([self._feat(scan, int(vp)) for vp in tv], 0)
+        cmask_T = g.cand_mask[tv]                      # [T, Kg]
+        Kg = cmask_T.shape[1]
+        assert Kg <= K, (Kg, K)
+        ptid_T = np.where(cmask_T, g.cand_ptid[tv], 0).astype(np.int64)
+        step_masks[:T] = True
+
+        # candidate slots (packed: mask True is a prefix per row)
+        cand_img = np.take_along_axis(feats_T, ptid_T[:, :, None], axis=1)
+        view_img[:T, :Kg] = np.where(cmask_T[:, :, None], cand_img, 0.0)
+        ch = g.cand_heading[tv]
+        ce = g.cand_elev[tv]
+        if self.correct_heading:
+            ch, ce = ch - heading, ce - elevation
+        ang = G.angle_feature_np(ch, ce, self.afs)     # [T, Kg, A]
+        loc_fts[:T, :Kg, :self.afs] = np.where(cmask_T[:, :, None], ang, 0.0)
+        loc_fts[:T, :Kg, self.afs:self.afs + 3] = cmask_T[:, :, None]
+        nav_types[:T, :Kg] = cmask_T
+        view_masks[:T, :Kg] = cmask_T
+
+        # non-candidate views: slot K+ix maps one-to-one to view ix
+        used = np.zeros((T, 36), bool)
+        np.put_along_axis(used, ptid_T, cmask_T, axis=1)
+        unused = ~used
+        view_img[:T, K:K + 36] = feats_T * unused[:, :, None]
+        loc_fts[:T, K:K + 36, :self.afs] = self._rel12_ang * unused[:, :, None]
+        loc_fts[:T, K:K + 36, self.afs:self.afs + 3] = unused[:, :, None]
+        view_masks[:T, K:K + 36] = unused
+
+        cand_lists = [[int(x) for x in g.cand_local[int(vp)][:int(
+            g.cand_mask[int(vp)].sum())]] for vp in tv]
         for t, vp in enumerate(traj):
-            feats = self._feat(scan, vp)
-            n_cand = int(g.cand_mask[vp].sum())
-            step_masks[t] = True
-            pts = g.cand_ptid[vp, :n_cand].astype(np.int64)
-            view_img[t, :n_cand] = feats[pts]
-            ch = g.cand_heading[vp, :n_cand]
-            ce = g.cand_elev[vp, :n_cand]
-            if self.correct_heading:
-                ch, ce = ch - heading, ce - elevation
-            loc_fts[t, :n_cand, :self.afs] = G.angle_feature_np(ch, ce,
-                                                                self.afs)
-            loc_fts[t, :n_cand, self.afs:] = 1.0
-            nav_types[t, :n_cand] = 1
-            view_masks[t, :n_cand] = True
-            unused = np.ones(36, bool)
-            unused[pts] = False
-            slots = K + np.nonzero(unused)[0]
-            view_img[t, slots] = feats[unused]
-            loc_fts[t, slots, :self.afs] = self._rel12_ang[unused]
-            loc_fts[t, slots, self.afs:] = 1.0
-            view_masks[t, slots] = True
-            cand_lists.append([int(x) for x in g.cand_local[vp][:n_cand]])
             if Lo:
                 # object tokens [cand | views | objs] (dataset.py:439-505);
                 # absolute obj directions, box fts from the stored loc tail
