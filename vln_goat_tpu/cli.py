@@ -98,6 +98,9 @@ def parse_args(argv=None):
     p.add_argument("--expert_policy", default="spl", choices=["spl", "ndtw"])
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--use_pallas", action="store_true",
+                   help="fused Pallas sublayer kernels (attention + FFN "
+                        "blocks; ops/attention.py) on TPU")
 
     # causal flags
     p.add_argument("--do_back_img", action="store_true")
@@ -184,6 +187,7 @@ def build_runtime(args):
         do_back_img_type=args.do_back_img_type,
         do_add_method=args.do_add_method,
         mode=args.mode,
+        use_pallas_attention=args.use_pallas,
     )
     if args.hidden_size:
         cfg = cfg.replace(hidden_size=args.hidden_size)

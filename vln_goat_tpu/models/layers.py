@@ -293,6 +293,7 @@ def _ffn_sublayer(parent, c, dtype, h, deterministic):
     min_lq = int(os.environ.get("GOAT_PALLAS_MIN_LQ", "32"))
     use_block = (getattr(c, "use_pallas_attention", False)
                  and os.environ.get("GOAT_PALLAS_BLOCK", "1") == "1"
+                 and os.environ.get("GOAT_PALLAS_FFN", "1") == "1"
                  and h.shape[1] >= min_lq and c.hidden_act == "gelu")
     if use_block:
         from ..ops.attention import _default_interpret, \

@@ -665,12 +665,27 @@ _SQRT2 = math.sqrt(2.0)
 _INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
 
 
+def _erf(x):
+    """erf for Mosaic (no erf primitive in the Pallas TPU lowering):
+    Abramowitz & Stegun 7.1.26 rational approximation, |err| <= 1.5e-7 —
+    far below the bf16 activation resolution and the fp32 parity
+    tolerances.  The backward uses the hand-written analytic gelu
+    gradient, so the approximation error does not compound."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _gelu_erf(x):
-    return 0.5 * x * (1.0 + jax.lax.erf(x / _SQRT2))
+    return 0.5 * x * (1.0 + _erf(x / _SQRT2))
 
 
 def _gelu_erf_grad(x):
-    return 0.5 * (1.0 + jax.lax.erf(x / _SQRT2)) \
+    return 0.5 * (1.0 + _erf(x / _SQRT2)) \
         + x * _INV_SQRT_2PI * jnp.exp(-0.5 * x * x)
 
 
