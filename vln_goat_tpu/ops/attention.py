@@ -388,9 +388,13 @@ def _fab_fwd_common(x, y, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
     p, pd, keep = _fa_probs(q, k, bias_ref, seed_ref, Hb=Hb, scale=scale,
                             drop=drop, seed_inside=False)
     ctx = _bdot(pd, v, 2, 2)                          # [H, Lq, dh]
-    # out-proj as batched per-head dots summed over heads (no lane
-    # reshape): wo [H, dh, D]
-    h = jnp.sum(_bdot(ctx, wo_ref[...], 2, 1), axis=0)  # [Lq, D]
+    # out-proj as per-head dots accumulated in a loop (no lane reshape,
+    # no [H, Lq, D] intermediate — VMEM is the scarce resource here):
+    # wo [H, dh, D]
+    H = ctx.shape[0]
+    h = _bdot(ctx[0], wo_ref[0], 1, 0, batch=False)     # [Lq, D]
+    for hh in range(1, H):
+        h = h + _bdot(ctx[hh], wo_ref[hh], 1, 0, batch=False)
     h = h + bo_ref[...].astype(jnp.float32)             # [1, D]
     keep2 = None
     if hdrop > 0.0:
@@ -455,9 +459,11 @@ def _fab_bwd_kernel(x_ref, y_ref, wq_ref, bq_ref, wk_ref, bk_ref,
         if keep2 is not None else dr
     dbo_ref[...] += jnp.sum(dh, axis=0)[None, :]
     dwo_ref[...] += _bdot(ctx, dh, 1, 0, batch=False)   # [H, dh, D]
-    # wo [H, dh, D] x dh [Lq, D] contracting D -> [H, dh, Lq]
-    dctx = _bdot(wo_ref[...], dh, 2, 1, batch=False)
-    dctx = jnp.swapaxes(dctx, 1, 2)                     # [H, Lq, dh]
+    # dctx[h] = dh @ wo[h]^T per head, stacked on a NEW leading axis —
+    # Mosaic rejects transposes that move the lane/sublane dims, so no
+    # batched-dot + swapaxes here
+    dctx = jnp.stack([_bdot(dh, wo_ref[hh], 1, 1, batch=False)
+                      for hh in range(ctx.shape[0])])   # [H, Lq, dh]
 
     # attention backward (mirror of _fa_bwd_kernel)
     inv_keep = 1.0 / (1.0 - drop) if drop > 0.0 else 1.0
@@ -534,8 +540,17 @@ def _fab_call(x, y, wq3, bq3, wk3, bk3, wv3, bv3, bias4, seed,
         in_specs=_fab_specs(x, y, wq3, bq3, bias4, wo3),
         out_specs=pl.BlockSpec((1, Lq, D), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Lq, D), x.dtype),
+        compiler_params=_vmem_params(),
         interpret=interpret,
     )(x, y, wq3, bq3, wk3, bk3, wv3, bv3, bias4, seed, wo3, bo2, g2, b2)
+
+
+def _vmem_params():
+    """Raise the Mosaic scoped-VMEM cap: the block kernels keep all four
+    projection weights resident, which busts the 16M default at D=768."""
+    if pltpu is None:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
 def _fab_fwd_rule(x, y, wq3, bq3, wk3, bk3, wv3, bv3, bias4, seed,
@@ -596,6 +611,7 @@ def _fab_bwd_rule(drop, hdrop, eps, interpret, res, do):
             jax.ShapeDtypeStruct((1, D), jnp.float32),
             jax.ShapeDtypeStruct((1, D), jnp.float32),
         ],
+        compiler_params=_vmem_params(),
         interpret=interpret,
     )(x, y, wq3, bq3, wk3, bk3, wv3, bv3, bias4, seed, wo3, bo2, g2, b2, do)
     (dx, dy, dwq, dbq, dwk, dbk, dwv, dbv, dbias, dwo, dbo, dg, db2) = outs
@@ -784,6 +800,7 @@ def _ffb_call(x, w1, b1, w2, b2, g2, b3, seed, hdrop, eps, interpret):
         in_specs=_ffb_in_specs(x, w1, w2),
         out_specs=pl.BlockSpec((1, L, D), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, L, D), x.dtype),
+        compiler_params=_vmem_params(),
         interpret=interpret,
     )(x, w1, b1, w2, b2, g2, b3, seed)
 
@@ -823,6 +840,7 @@ def _ffb_bwd_rule(hdrop, eps, interpret, res, do):
             jax.ShapeDtypeStruct((1, D), jnp.float32),
             jax.ShapeDtypeStruct((1, D), jnp.float32),
         ],
+        compiler_params=_vmem_params(),
         interpret=interpret,
     )(x, w1, b1, w2, b2, g2, b3, seed, do)
     dx, dw1, db1, dw2, db2, dg, db3 = outs
