@@ -126,15 +126,27 @@ def bench_train(B=None, real_shapes=False):
             return TR.fuse_dagger_batches(b1, b2)
         return batcher.next_batch()[1]
 
-    state, m = step(state, nb(), rng)
+    first = nb()
+    state, m = step(state, first, rng)
     jax.block_until_ready(m["loss"])
     iters = 8
     t0 = time.perf_counter()
     for i in range(iters):
         state, m = step(state, nb(), jax.random.fold_in(rng, i))
     jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
-    return B * iters / dt
+    dt = (time.perf_counter() - t0) / iters
+    # hardware FLOP utilization vs the v5e bf16 peak (197 TFLOP/s), from
+    # the compiled executable's own flop count (includes remat recompute —
+    # i.e. how busy the MXU actually is).  VERDICT r2: publish MFU.
+    util = None
+    try:
+        cost = step.lower(state, first, rng).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        util = float(cost.get("flops", 0.0)) / dt / 197e12 * 100.0
+    except Exception:
+        pass
+    return B / dt, util
 
 
 def bench_rxr_overflow(B=32, episodes=256):
@@ -197,7 +209,7 @@ def main():
                 "policy evicts farthest unvisited (reference GraphMap is "
                 "unbounded)",
     }), flush=True)
-    real = bench_train(real_shapes=True)
+    real, _ = bench_train(real_shapes=True)
     print(json.dumps({
         "metric": "r2r_dagger_finetune_eps_per_sec_real_shapes",
         "value": round(real, 2),
@@ -206,15 +218,20 @@ def main():
         "note": "val_unseen-like shapes: 200-token instructions, gt 5-10 "
                 "(the headline line uses synthetic-average 60-token/4-7)",
     }), flush=True)
-    train = bench_train()
-    print(json.dumps({
+    train, util = bench_train()
+    line = {
         "metric": "r2r_dagger_finetune_episodes_per_sec_per_chip",
         "value": round(train, 2),
         "unit": "episodes/s",
         "vs_baseline": round(train / REF_TRAIN_EPS, 2),
         "decode_eps_per_sec": round(decode, 2),
         "decode_vs_baseline": round(decode / REF_DECODE_EPS, 2),
-    }), flush=True)
+    }
+    if util is not None:
+        # XLA cost_analysis flops / step time / v5e bf16 peak; the step is
+        # elementwise/data-movement bound, not FLOP bound (ROADMAP r3)
+        line["hw_flops_util_pct"] = round(util, 2)
+    print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":

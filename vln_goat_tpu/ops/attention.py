@@ -388,13 +388,13 @@ def _fab_fwd_common(x, y, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
     p, pd, keep = _fa_probs(q, k, bias_ref, seed_ref, Hb=Hb, scale=scale,
                             drop=drop, seed_inside=False)
     ctx = _bdot(pd, v, 2, 2)                          # [H, Lq, dh]
-    # out-proj as per-head dots accumulated in a loop (no lane reshape,
-    # no [H, Lq, D] intermediate — VMEM is the scarce resource here):
-    # wo [H, dh, D]
-    H = ctx.shape[0]
-    h = _bdot(ctx[0], wo_ref[0], 1, 0, batch=False)     # [Lq, D]
-    for hh in range(1, H):
-        h = h + _bdot(ctx[hh], wo_ref[hh], 1, 0, batch=False)
+    # out-proj: contract BOTH the head and dh axes in one dot_general —
+    # h[q, d] = sum_{h,i} ctx[h, q, i] * wo[h, i, d].  No [H, Lq, D]
+    # intermediate (VMEM) and no unrolled per-head loop (Mosaic compile
+    # time).
+    h = jax.lax.dot_general(
+        ctx, wo_ref[...], (((0, 2), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32)             # [Lq, D]
     h = h + bo_ref[...].astype(jnp.float32)             # [1, D]
     keep2 = None
     if hdrop > 0.0:
@@ -459,17 +459,21 @@ def _fab_bwd_kernel(x_ref, y_ref, wq_ref, bq_ref, wk_ref, bk_ref,
         if keep2 is not None else dr
     dbo_ref[...] += jnp.sum(dh, axis=0)[None, :]
     dwo_ref[...] += _bdot(ctx, dh, 1, 0, batch=False)   # [H, dh, D]
-    # dctx[h] = dh @ wo[h]^T per head, stacked on a NEW leading axis —
-    # Mosaic rejects transposes that move the lane/sublane dims, so no
-    # batched-dot + swapaxes here
-    dctx = jnp.stack([_bdot(dh, wo_ref[hh], 1, 1, batch=False)
-                      for hh in range(ctx.shape[0])])   # [H, Lq, dh]
+    # dctx in [Lq, H, dh] orientation (dh [Lq, D] x wo [H, dh, D]
+    # contracting D) — downstream dots batch on H via dimension_numbers,
+    # so no lane/sublane transpose is ever needed (Mosaic rejects those)
+    dctx2 = _bdot(dh, wo_ref[...], 1, 2, batch=False)   # [Lq, H, dh]
 
-    # attention backward (mirror of _fa_bwd_kernel)
+    # attention backward (mirror of _fa_bwd_kernel, reading dctx2)
     inv_keep = 1.0 / (1.0 - drop) if drop > 0.0 else 1.0
-    dO = dctx
-    dv = _bdot(dO, pd, 1, 1)                            # [H, dh, Lk]
-    dpd = _bdot(dO, v, 2, 1)                            # [H, Lq, Lk]
+    # dv[h, i, k] = sum_q dctx2[q, h, i] * pd[h, q, k]
+    dv = jax.lax.dot_general(
+        dctx2, pd, (((0,), (1,)), ((1,), (0,))),
+        preferred_element_type=jnp.float32)             # [H, dh, Lk]
+    # dpd[h, q, k] = sum_i dctx2[q, h, i] * v[h, i, k]
+    dpd = jax.lax.dot_general(
+        dctx2, v, (((2,), (1,)), ((1,), (0,))),
+        preferred_element_type=jnp.float32)             # [H, Lq, Lk]
     dp = jnp.where(keep, dpd * inv_keep, 0.0) if keep is not None else dpd
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
     if Hb > 1:
