@@ -388,13 +388,10 @@ def _fab_fwd_common(x, y, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
     p, pd, keep = _fa_probs(q, k, bias_ref, seed_ref, Hb=Hb, scale=scale,
                             drop=drop, seed_inside=False)
     ctx = _bdot(pd, v, 2, 2)                          # [H, Lq, dh]
-    # out-proj: contract BOTH the head and dh axes in one dot_general —
-    # h[q, d] = sum_{h,i} ctx[h, q, i] * wo[h, i, d].  No [H, Lq, D]
-    # intermediate (VMEM) and no unrolled per-head loop (Mosaic compile
-    # time).
-    h = jax.lax.dot_general(
-        ctx, wo_ref[...], (((0, 2), (0, 1)), ((), ())),
-        preferred_element_type=jnp.float32)             # [Lq, D]
+    # out-proj as a batched per-head dot summed over heads (Mosaic only
+    # supports a single contracting dim per matmul; the [H, Lq, D]
+    # intermediate fits under the raised VMEM cap): wo [H, dh, D]
+    h = jnp.sum(_bdot(ctx, wo_ref[...], 2, 1), axis=0)  # [Lq, D]
     h = h + bo_ref[...].astype(jnp.float32)             # [1, D]
     keep2 = None
     if hdrop > 0.0:
@@ -459,21 +456,18 @@ def _fab_bwd_kernel(x_ref, y_ref, wq_ref, bq_ref, wk_ref, bk_ref,
         if keep2 is not None else dr
     dbo_ref[...] += jnp.sum(dh, axis=0)[None, :]
     dwo_ref[...] += _bdot(ctx, dh, 1, 0, batch=False)   # [H, dh, D]
-    # dctx in [Lq, H, dh] orientation (dh [Lq, D] x wo [H, dh, D]
-    # contracting D) — downstream dots batch on H via dimension_numbers,
-    # so no lane/sublane transpose is ever needed (Mosaic rejects those)
-    dctx2 = _bdot(dh, wo_ref[...], 1, 2, batch=False)   # [Lq, H, dh]
+    # dctx kept in [H, dh, Lq] orientation (wo [H, dh, D] x dh [Lq, D]
+    # contracting D) — every downstream dot is then a leading-batch,
+    # single-contraction matmul, the only form Mosaic's tpu.matmul
+    # implements (no lane/sublane transposes anywhere)
+    dctxT = _bdot(wo_ref[...], dh, 2, 1, batch=False)   # [H, dh, Lq]
 
-    # attention backward (mirror of _fa_bwd_kernel, reading dctx2)
+    # attention backward (mirror of _fa_bwd_kernel, reading dctxT)
     inv_keep = 1.0 / (1.0 - drop) if drop > 0.0 else 1.0
-    # dv[h, i, k] = sum_q dctx2[q, h, i] * pd[h, q, k]
-    dv = jax.lax.dot_general(
-        dctx2, pd, (((0,), (1,)), ((1,), (0,))),
-        preferred_element_type=jnp.float32)             # [H, dh, Lk]
-    # dpd[h, q, k] = sum_i dctx2[q, h, i] * v[h, i, k]
-    dpd = jax.lax.dot_general(
-        dctx2, v, (((2,), (1,)), ((1,), (0,))),
-        preferred_element_type=jnp.float32)             # [H, Lq, Lk]
+    # dv[h, i, k] = sum_q dctxT[h, i, q] * pd[h, q, k]
+    dv = _bdot(dctxT, pd, 2, 1)                         # [H, dh, Lk]
+    # dpd[h, q, k] = sum_i dctxT[h, i, q] * v[h, i, k]
+    dpd = _bdot(dctxT, v, 1, 1)                         # [H, Lq, Lk]
     dp = jnp.where(keep, dpd * inv_keep, 0.0) if keep is not None else dpd
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
     if Hb > 1:
