@@ -114,6 +114,8 @@ def bench_train(B=None, real_shapes=False):
     step = jax.jit(TR.make_train_step(
         ro, tx, train_alg=alg, ml_weight=0.2,
         remat=os.environ.get("GOAT_BENCH_REMAT", "full"),
+        # A/B lever: 0 restores the per-step scan teacher
+        vectorized_teacher=os.environ.get("GOAT_VEC_TEACHER", "1") == "1",
         # teacher scan at the batcher's gt cap is loss-identical
         teacher_horizon=None if alg == "dagger_fused"
         else batcher.max_gt_len))

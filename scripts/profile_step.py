@@ -17,12 +17,12 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 
-def main(mode="train", B=64, outdir="/tmp/jaxprof"):
+def main(mode="train", B=64, outdir="/tmp/jaxprof", remat="full"):
     sys.argv = [sys.argv[0]]
     import scripts.bench_train as BT
     from vln_goat_tpu.train.trainer import fuse_dagger_batches
 
-    step, state, batcher = BT.build(B, "dagger", "full", True)
+    step, state, batcher = BT.build(B, "dagger", remat, True)
     rng = jax.random.PRNGKey(0)
     batch = batcher.next_batch()[1]
     state, m = step(state, batch, rng)  # compile
@@ -67,5 +67,6 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="train")
     ap.add_argument("--B", type=int, default=64)
+    ap.add_argument("--remat", default="full")
     a = ap.parse_args()
-    main(a.mode, a.B)
+    main(a.mode, a.B, remat=a.remat)

@@ -142,7 +142,7 @@ def test_train_step_dagger_fused(tiny):
     assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
 
 
-@pytest.mark.parametrize("remat", ["bounds", "ffn", "dots"])
+@pytest.mark.parametrize("remat", ["bounds", "ffn", "dots", "model"])
 def test_remat_policies_loss_identical(tiny, remat):
     """Every remat policy computes the same loss and gradients as
     remat='full' — policies change what is SAVED for the backward, never

@@ -245,6 +245,22 @@ class GoatModel(nn.Module):
             obj_names, per_step=True, deterministic=deterministic)
 
     # ------------------------------------------------------------------
+    def forward_text_kv(self, txt_embeds):
+        """Per-layer cross-attention K/V projections of the instruction.
+
+        The text is constant across rollout steps, so these matmuls (2 per
+        cross layer per branch, recomputed at every step by the reference,
+        vilmodel_GOAT.py:747-776) are hoisted out of the scan: computed
+        once per episode here, then fed to forward_navigation(txt_kv=...).
+        Numerically identical — same projections, applied once."""
+        return {
+            "global": self.global_encoder.encoder(
+                None, None, txt_embeds, None, kv_only=True),
+            "local": self.local_encoder.encoder(
+                None, None, txt_embeds, None, kv_only=True),
+        }
+
+    # ------------------------------------------------------------------
     # mode: 'navigation' (vilmodel_GOAT.py:739-839)
     def forward_navigation(
         self, txt_embeds, txt_masks,
@@ -252,7 +268,8 @@ class GoatModel(nn.Module):
         gmap_pair_dists, gmap_visited_masks,
         vp_img_embeds, vp_pos_fts, vp_masks, vp_nav_masks,
         local_to_gmap, vp_obj_masks=None,
-        front_vp_feats=None, front_gmap_feats=None, deterministic=True,
+        front_vp_feats=None, front_gmap_feats=None, txt_kv=None,
+        deterministic=True,
     ) -> Dict[str, jnp.ndarray]:
         c = self.config
 
@@ -265,7 +282,8 @@ class GoatModel(nn.Module):
                 gmap_embeds, front_gmap_feats, gmap_masks, deterministic)
         gmap_embeds = self.global_encoder.encoder(
             gmap_embeds, gmap_masks, txt_embeds, txt_masks,
-            graph_sprels=graph_sprels, deterministic=deterministic)
+            graph_sprels=graph_sprels, deterministic=deterministic,
+            kv_caches=None if txt_kv is None else txt_kv["global"])
 
         # local branch
         vp_embeds = vp_img_embeds + self.local_encoder.pos_embed(vp_pos_fts)
@@ -273,7 +291,9 @@ class GoatModel(nn.Module):
             vp_embeds = self.front_local_encoder(
                 vp_embeds, front_vp_feats, vp_masks, deterministic)
         vp_embeds = self.local_encoder.encoder(
-            vp_embeds, vp_masks, txt_embeds, txt_masks, deterministic=deterministic)
+            vp_embeds, vp_masks, txt_embeds, txt_masks,
+            deterministic=deterministic,
+            kv_caches=None if txt_kv is None else txt_kv["local"])
 
         # fusion weights (vilmodel_GOAT.py:777-786)
         if c.glocal_fuse:

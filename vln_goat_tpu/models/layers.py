@@ -75,7 +75,7 @@ class AttentionCore(nn.Module):
 
     @nn.compact
     def __call__(self, q_in, kv_in, bias=None, deterministic=True,
-                 weights_only=False):
+                 weights_only=False, kv_only=False, kv_cache=None):
         d = self.num_heads * self.head_dim
         qp = _ProjWeights(d, self.dtype, name="query")
         kp = _ProjWeights(d, self.dtype, name="key")
@@ -85,12 +85,17 @@ class AttentionCore(nn.Module):
             wk, bk = kp(kv_in, weights_only=True)
             wv, bv = vp(kv_in, weights_only=True)
             return wq, bq, wk, bk, wv, bv
+        if kv_only:
+            # K/V cache precompute: the cross-attended text is constant
+            # across rollout steps, so its per-layer key/value projections
+            # are hoisted out of the scan (exact same matmuls, done once)
+            return kp(kv_in), vp(kv_in)
 
         # the fused kernel wins for mid-size query blocks (pano 52,
         # gmap 50) and loses for tiny ones (local branch 18) where XLA's
         # flattened [B*L, D] GEMMs are already efficient — gate by Lq
         min_lq = int(os.environ.get("GOAT_PALLAS_MIN_LQ", "32"))
-        if self.use_pallas and q_in.shape[1] >= min_lq:
+        if self.use_pallas and kv_cache is None and q_in.shape[1] >= min_lq:
             from ..ops.attention import _default_interpret, \
                 pallas_fused_qkv_mha
 
@@ -114,8 +119,11 @@ class AttentionCore(nn.Module):
                     num_heads=self.num_heads, dropout_rate=rate, seed=seed)
 
         q = qp(q_in)
-        k = kp(kv_in)
-        v = vp(kv_in)
+        if kv_cache is not None:
+            k, v = kv_cache
+        else:
+            k = kp(kv_in)
+            v = vp(kv_in)
         B, Lq = q.shape[0], q.shape[1]
         Lk = k.shape[1]
         q = q.reshape(B, Lq, self.num_heads, self.head_dim)
@@ -186,9 +194,15 @@ class BertAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, kv=None, bias=None, deterministic=True):
+    def __call__(self, hidden, kv=None, bias=None, deterministic=True,
+                 kv_only=False, kv_cache=None):
         c = self.config
         kv_in = hidden if kv is None else kv
+        if kv_only:
+            return AttentionCore(
+                c.num_attention_heads, c.head_dim,
+                c.attention_probs_dropout_prob, self.dtype,
+                name="self")(kv_in, kv_in, kv_only=True)
         # fully fused sublayer (ops/attention.pallas_fused_attn_block):
         # attention + out-proj + dropout + residual + LayerNorm in one
         # kernel — the elementwise tail between matmuls is where the
@@ -197,6 +211,7 @@ class BertAttention(nn.Module):
         min_lq = int(os.environ.get("GOAT_PALLAS_MIN_LQ", "32"))
         use_block = (getattr(c, "use_pallas_attention", False)
                      and os.environ.get("GOAT_PALLAS_BLOCK", "1") == "1"
+                     and kv_cache is None
                      and hidden.shape[1] >= min_lq)
         if use_block:
             from ..ops.attention import _default_interpret, \
@@ -231,16 +246,16 @@ class BertAttention(nn.Module):
                     hidden_dropout=hdrop, ln_eps=c.layer_norm_eps,
                     seed=seed)
                 return _ckpt_name(h, "blk")
-        return self._unfused(hidden, kv_in, bias, deterministic)
+        return self._unfused(hidden, kv_in, bias, deterministic, kv_cache)
 
-    def _unfused(self, hidden, kv, bias, deterministic):
+    def _unfused(self, hidden, kv, bias, deterministic, kv_cache=None):
         c = self.config
         kv = hidden if kv is None else kv
         ctx = AttentionCore(
             c.num_attention_heads, c.head_dim,
             c.attention_probs_dropout_prob, self.dtype,
             use_pallas=getattr(c, "use_pallas_attention", False), name="self",
-        )(hidden, kv, bias, deterministic)
+        )(hidden, kv, bias, deterministic, kv_cache=kv_cache)
         return BertSelfOutput(c, self.dtype, name="output")(ctx, hidden, deterministic)
 
 
@@ -343,14 +358,19 @@ class BertCrossLayer(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, enc_hidden, self_bias=None, cross_bias=None,
-                 graph_sprels=None, deterministic=True):
+                 graph_sprels=None, deterministic=True, kv_only=False,
+                 kv_cache=None):
         c = self.config
+        if kv_only:
+            # per-layer K/V projections of the (step-constant) encoder side
+            return BertAttention(c, self.dtype, name="crossattention")(
+                enc_hidden, None, kv_only=True)
         if graph_sprels is not None:
             self_bias = (0.0 if self_bias is None else self_bias) + graph_sprels
         h = BertAttention(c, self.dtype, name="attention")(
             hidden, None, self_bias, deterministic)
         h = BertAttention(c, self.dtype, name="crossattention")(
-            h, enc_hidden, cross_bias, deterministic)
+            h, enc_hidden, cross_bias, deterministic, kv_cache=kv_cache)
         return _ffn_sublayer(self, c, self.dtype, h, deterministic)
 
 
@@ -367,14 +387,22 @@ class CrossmodalEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, q_embeds, q_masks, kv_embeds, kv_masks,
-                 graph_sprels=None, deterministic=True):
+                 graph_sprels=None, deterministic=True, kv_only=False,
+                 kv_caches=None):
         n = self.num_layers if self.num_layers is not None else self.config.num_x_layers
+        if kv_only:
+            # list of per-layer (k, v) projections of kv_embeds — computed
+            # once per episode and fed back via kv_caches in the scan
+            return [BertCrossLayer(self.config, self.dtype,
+                                   name=f"crossattention_{i}")(
+                        None, kv_embeds, kv_only=True) for i in range(n)]
         self_bias = extend_neg_masks(q_masks) if q_masks is not None else None
         cross_bias = extend_neg_masks(kv_masks) if kv_masks is not None else None
         h = q_embeds
         for i in range(n):
             h = BertCrossLayer(self.config, self.dtype, name=f"crossattention_{i}")(
-                h, kv_embeds, self_bias, cross_bias, graph_sprels, deterministic)
+                h, kv_embeds, self_bias, cross_bias, graph_sprels, deterministic,
+                kv_cache=None if kv_caches is None else kv_caches[i])
         return h
 
 

@@ -25,6 +25,7 @@ step's fused CLS embedding and is masked from attention (agent.py:209).
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Dict, Optional
@@ -88,6 +89,26 @@ def dtw_extend_row(row, cost, valid=None):
 def dtw_init_row(shape_prefix, Tg1):
     row = jnp.full(shape_prefix + (Tg1,), BIG)
     return row.at[..., 0].set(0.0)
+
+
+def _nav_embed_assemble(embed_sum, embed_cnt, last_embeds, pano_embeds,
+                        N, D):
+    """Parameter-dependent nav-input tensors: gmap token embeddings
+    [stop, MEM, node_0..N-1] from the running node sums, and the local
+    [stop, MEM, pano...] embeddings (None if pano_embeds is None).
+    Split out of _nav_inputs so the vectorized teacher path can rebuild
+    them inside its embedding-only scan (graph_utils.py:110-121)."""
+    B = embed_sum.shape[0]
+    cnt = jnp.maximum(embed_cnt[:, :N], 1.0)
+    node_embeds = embed_sum[:, :N] / cnt[:, :, None]
+    gmap_img_embeds = jnp.concatenate([
+        jnp.zeros((B, 1, D)), last_embeds[:, None, :], node_embeds], axis=1)
+    vp_img_embeds = None
+    if pano_embeds is not None:
+        vp_img_embeds = jnp.concatenate([
+            jnp.zeros((B, 1, D)), last_embeds[:, None, :], pano_embeds],
+            axis=1)
+    return gmap_img_embeds, vp_img_embeds
 
 
 # 36x36 table: angle features of view v relative to base view b
@@ -216,53 +237,67 @@ class NavRollout:
             # unbounded; 'drop' would make those nodes permanently
             # unreachable).  Never evicted: start (slot 0), the arrival
             # node, visited nodes, slots matched by this step's candidates.
-            N = r.num_nodes
-            nslot = jnp.arange(N)[None, :]
-            matched = jnp.zeros((B, N1), bool).at[
-                bidx[:, None], jnp.where(exists, idx_exist, TRASH)
-            ].set(True)[:, :N]
-            evictable = (nslot < st["n_nodes"][:, None]) & (nslot != 0) \
-                & (nslot != arr[:, None]) & ~matched
-            d_arr = edist[bidx, arr, :N]
-            # two-tier preference: ANY unvisited (farthest first) before
-            # ANY visited (last resort — loses that node's stop/backtrack
-            # record, but keeps the current step's candidates navigable)
-            vis = st["visited"][:, :N]
-            score = jnp.where(evictable,
-                              jnp.where(vis, d_arr - 2.0 * INF_DIST, d_arr),
-                              -jnp.inf)
-            order = jnp.argsort(-score, axis=1).astype(jnp.int32)  # far 1st
-            ov_rank = jnp.cumsum(need, axis=1) - 1
-            n_evict = jnp.sum(evictable, axis=1)
-            slot_for = order[bidx[:, None], jnp.clip(ov_rank, 0, N - 1)]
-            ok_spill = need & (ov_rank < n_evict[:, None])
-            cidx = jnp.where(ok_spill, slot_for, cidx).astype(jnp.int32)
-            need = need & ~ok_spill            # only true drops remain
-            spilled = jnp.sum(ok_spill, axis=1)
+            # The whole machinery (argsort + O(N^2) route severing) runs
+            # under lax.cond — overflow is rare (R2R decode: never), and
+            # paying it unconditionally per step cost 19% decode
+            # throughput when it was inlined.
+            def do_spill(cidx, need, edist, ehops, enext):
+                N = r.num_nodes
+                nslot = jnp.arange(N)[None, :]
+                matched = jnp.zeros((B, N1), bool).at[
+                    bidx[:, None], jnp.where(exists, idx_exist, TRASH)
+                ].set(True)[:, :N]
+                evictable = (nslot < st["n_nodes"][:, None]) & (nslot != 0) \
+                    & (nslot != arr[:, None]) & ~matched
+                d_arr = edist[bidx, arr, :N]
+                # two-tier preference: ANY unvisited (farthest first)
+                # before ANY visited (last resort — loses that node's
+                # stop/backtrack record, but keeps the current step's
+                # candidates navigable)
+                vis = st["visited"][:, :N]
+                score = jnp.where(
+                    evictable,
+                    jnp.where(vis, d_arr - 2.0 * INF_DIST, d_arr), -jnp.inf)
+                order = jnp.argsort(-score, axis=1).astype(jnp.int32)
+                ov_rank = jnp.cumsum(need, axis=1) - 1
+                n_evict = jnp.sum(evictable, axis=1)
+                slot_for = order[bidx[:, None], jnp.clip(ov_rank, 0, N - 1)]
+                ok_spill = need & (ov_rank < n_evict[:, None])
+                cidx = jnp.where(ok_spill, slot_for, cidx).astype(jnp.int32)
+                need = need & ~ok_spill        # only true drops remain
+                spilled = jnp.sum(ok_spill, axis=1)
 
-            # clear the evicted slots' episodic state: their distance
-            # rows/cols, any next-hop pointer THROUGH them (stale routes
-            # via a reused slot would splice a wrong viewpoint into the
-            # recorded trajectory; severing them makes path expansion
-            # truncate instead — re-relaxed by later arrivals), and their
-            # embeddings/bookkeeping.  Deeper stale paths (evictee as a
-            # mid-path hop of an unrelated pair) keep a stale distance
-            # until re-relaxation: a documented approximation of the
-            # unbounded reference.
-            tgt_e = jnp.where(ok_spill, slot_for, TRASH)
-            er = jnp.zeros((B, N1), bool).at[bidx[:, None], tgt_e].set(
-                ok_spill)
-            er = er.at[:, TRASH].set(False)
-            eye = jnp.eye(N1)
-            thru = er[bidx[:, None, None], jnp.clip(enext, 0, N1 - 1)]
-            cm = er[:, None, :] | er[:, :, None] | thru
-            edist = jnp.where(cm, (INF_DIST * (1 - eye))[None], edist)
-            ehops = jnp.where(cm, 0.0, ehops)
-            diag_next = (jnp.arange(N1, dtype=jnp.int32)[None, :]
-                         * jnp.eye(N1, dtype=jnp.int32)
-                         - (1 - jnp.eye(N1, dtype=jnp.int32)))[None]
-            enext = jnp.where(cm, diag_next, enext)
-            emb_clear = er
+                # clear the evicted slots' episodic state: their distance
+                # rows/cols, any next-hop pointer THROUGH them (stale
+                # routes via a reused slot would splice a wrong viewpoint
+                # into the recorded trajectory; severing them makes path
+                # expansion truncate instead — re-relaxed by later
+                # arrivals), and their embeddings/bookkeeping.  Deeper
+                # stale paths (evictee as a mid-path hop of an unrelated
+                # pair) keep a stale distance until re-relaxation: a
+                # documented approximation of the unbounded reference.
+                tgt_e = jnp.where(ok_spill, slot_for, TRASH)
+                er = jnp.zeros((B, N1), bool).at[bidx[:, None], tgt_e].set(
+                    ok_spill)
+                er = er.at[:, TRASH].set(False)
+                eye = jnp.eye(N1)
+                thru = er[bidx[:, None, None], jnp.clip(enext, 0, N1 - 1)]
+                cm = er[:, None, :] | er[:, :, None] | thru
+                edist = jnp.where(cm, (INF_DIST * (1 - eye))[None], edist)
+                ehops = jnp.where(cm, 0.0, ehops)
+                diag_next = (jnp.arange(N1, dtype=jnp.int32)[None, :]
+                             * jnp.eye(N1, dtype=jnp.int32)
+                             - (1 - jnp.eye(N1, dtype=jnp.int32)))[None]
+                enext = jnp.where(cm, diag_next, enext)
+                return cidx, need, spilled, edist, ehops, enext, er
+
+            def no_spill(cidx, need, edist, ehops, enext):
+                return (cidx, need, jnp.zeros((B,), jnp.int32),
+                        edist, ehops, enext, jnp.zeros((B, N1), bool))
+
+            (cidx, need, spilled, edist, ehops, enext,
+             emb_clear) = jax.lax.cond(jnp.any(need), do_spill, no_spill,
+                                       cidx, need, edist, ehops, enext)
 
         write = cmask & (cidx != TRASH)
         node_vp = st["node_vp"].at[bidx[:, None], cidx].set(
@@ -307,29 +342,47 @@ class NavRollout:
         if emb_clear is not None:
             # evicted slots start fresh: no inherited embeddings/bookkeeping
             keep = ~emb_clear
-            out["embed_sum"] = st["embed_sum"] * keep[..., None]
-            out["embed_cnt"] = st["embed_cnt"] * keep
+            if "embed_sum" in st:
+                out["embed_sum"] = st["embed_sum"] * keep[..., None]
+                out["embed_cnt"] = st["embed_cnt"] * keep
+            if "stop_prob" in st:
+                out["stop_prob"] = jnp.where(emb_clear, -jnp.inf,
+                                             st["stop_prob"])
             out["step_id"] = st["step_id"] * keep
-            out["stop_prob"] = jnp.where(emb_clear, -jnp.inf, st["stop_prob"])
             out["visited"] = out["visited"] & keep
             if "og_oid" in st:
                 out["og_oid"] = jnp.where(emb_clear, -1, st["og_oid"])
+            # recorded by the vectorized teacher's geometry scan so its
+            # embedding scan can replay the clear (popped from the carry)
+            out["emb_clear"] = emb_clear
         return out
 
     # ------------------------------------------------------------------
-    def _pano_inputs(self, st, batch):
+    def _pano_inputs(self, st, batch, cur_vp=None, view_ix=None,
+                     scan=None, use_aug=None):
         """Build padded panorama tokens: [K candidate slots | 36 view slots]
-        (agent.py:86-149 packing, static-shape variant)."""
+        (agent.py:86-149 packing, static-shape variant).
+
+        All inputs are pure functions of (scan, cur_vp, view_ix) — st is
+        only consulted for those when not given explicitly, which lets the
+        vectorized teacher path call this once over a flattened [T*B]
+        batch instead of per scan step."""
         w, r = self.world, self.rcfg
-        B = st["cur"].shape[0]
+        if scan is None:
+            scan = batch["scan_idx"]
+        if cur_vp is None:
+            bq = jnp.arange(st["cur"].shape[0])
+            cur_vp = st["node_vp"][bq, st["cur"]]
+        if view_ix is None:
+            view_ix = st["view_ix"]
+        if use_aug is None:
+            use_aug = batch.get("use_aug")
+        B = cur_vp.shape[0]
         bidx = jnp.arange(B)
-        scan = batch["scan_idx"]
-        cur_vp = st["node_vp"][bidx, st["cur"]]
-        feats = w.get_feat(scan, cur_vp,
-                           batch.get("use_aug"))         # [B, 36, Df]
+        feats = w.get_feat(scan, cur_vp, use_aug)        # [B, 36, Df]
         cands = w.get_cands(scan, cur_vp)
         K = cands["local"].shape[1]
-        vi = st["view_ix"]
+        vi = view_ix
         cam_h = G.VIEW_HEADINGS[0] + (vi % 12).astype(jnp.float32) * (jnp.pi / 6)
         cam_e = ((vi // 12).astype(jnp.float32) - 1.0) * (jnp.pi / 6)
 
@@ -379,10 +432,15 @@ class NavRollout:
 
     # ------------------------------------------------------------------
     def _nav_inputs(self, st, batch, pano, pano_embeds, cnode=None,
-                    has=None):
+                    has=None, embeds=True):
         """Assemble global-map + local-branch tensors (agent.py:151-304).
         cnode/has: candidate->node-table matches, precomputed by the step
-        to avoid recomputing the [B,K,N] broadcast equality."""
+        to avoid recomputing the [B,K,N] broadcast equality.
+
+        embeds=False skips the parameter-dependent tensors
+        (gmap_img_embeds / vp_img_embeds) so the vectorized teacher path
+        can record the pure-geometry inputs in a model-free scan and
+        assemble the embedding tensors later (_nav_embed_assemble)."""
         w, r = self.world, self.rcfg
         c = self.mcfg
         B = st["cur"].shape[0]
@@ -399,11 +457,10 @@ class NavRollout:
         cur_vp = pano["cur_vp"]
 
         # node embeddings (sum/count average; graph_utils.py:110-121)
-        cnt = jnp.maximum(st["embed_cnt"][:, :N], 1.0)
-        node_embeds = st["embed_sum"][:, :N] / cnt[:, :, None]
-        gmap_img_embeds = jnp.concatenate([
-            jnp.zeros((B, 1, D)), st["last_embeds"][:, None, :], node_embeds],
-            axis=1)
+        if embeds:
+            gmap_img_embeds, _ = _nav_embed_assemble(
+                st["embed_sum"], st["embed_cnt"], st["last_embeds"], None,
+                N, D)
 
         # positions & episodic metrics relative to the current node
         npos = w.pos[scan[:, None], node_vp]             # [B, N, 3]
@@ -436,10 +493,12 @@ class NavRollout:
         # ---- local branch (agent.py:266-304) ----
         cands = pano["cands"]
         K = cands["local"].shape[1]
-        vp_img_embeds = jnp.concatenate([
-            jnp.zeros((B, 1, D)), st["last_embeds"][:, None, :], pano_embeds],
-            axis=1)
-        L = vp_img_embeds.shape[1]
+        Lo0 = 0 if pano.get("objs") is None else pano["objs"]["feat"].shape[1]
+        L = 2 + pano["mask"].shape[1] + Lo0
+        if embeds:
+            vp_img_embeds = jnp.concatenate([
+                jnp.zeros((B, 1, D)), st["last_embeds"][:, None, :],
+                pano_embeds], axis=1)
 
         # candidate gmap slots: node index of each candidate (all candidates
         # are in the node table after _arrive)
@@ -490,13 +549,16 @@ class NavRollout:
         no_vp_left = ~jnp.any(real & ~visited, axis=1)
 
         nav_in = dict(
-            gmap_img_embeds=gmap_img_embeds, gmap_step_ids=gmap_step_ids,
+            gmap_step_ids=gmap_step_ids,
             gmap_pos_fts=gmap_pos_fts, gmap_masks=gmap_masks,
             gmap_pair_dists=gmap_pair_dists, gmap_visited_masks=gmap_visited,
-            vp_img_embeds=vp_img_embeds, vp_pos_fts=vp_pos_fts,
+            vp_pos_fts=vp_pos_fts,
             vp_masks=vp_masks, vp_nav_masks=vp_nav_masks,
             local_to_gmap=local_to_gmap,
         )
+        if embeds:
+            nav_in["gmap_img_embeds"] = gmap_img_embeds
+            nav_in["vp_img_embeds"] = vp_img_embeds
         if vp_obj_masks is not None:
             nav_in["vp_obj_masks"] = vp_obj_masks
         return nav_in, dict(real=real, visited=visited, node_vp=node_vp,
@@ -608,7 +670,9 @@ class NavRollout:
         remat: 'full' re-runs the whole step in the backward (min HBM),
         'dots' saves matmul outputs (jax.checkpoint_policies
         .dots_with_no_batch_dims_saveable — faster when HBM allows),
-        'none' stores all activations.
+        'none' stores all activations, 'model' checkpoints only the
+        transformer calls so the backward never recomputes the
+        bookkeeping/supervision op soup (saves its primals instead).
 
         exit_chunk: the training scan runs in chunks of this many steps,
         each wrapped in lax.cond(any episode still active) — the
@@ -620,13 +684,32 @@ class NavRollout:
         B>=32 on v5e, while compile time of the chunked graph ~doubles) —
         enable for small-batch runs that mirror the reference's B=12."""
         model, w, r, c = self.model, self.world, self.rcfg, self.mcfg
+        # remat='model': checkpoint ONLY the transformer calls inside the
+        # scan step.  The backward then rematerializes just the model
+        # forwards; every bookkeeping primal (teacher DTW sweep, episodic
+        # Floyd-Warshall relax, candidate gathers, path expansion — the
+        # profiled elementwise/copy soup) is saved in the forward and never
+        # recomputed.  Saved residuals are the per-step model inputs/outputs
+        # (~tens of MB per step at B=64) — far under HBM, unlike
+        # remat='none' which also stores model internals.
+        model_ckpt = (remat == "model") and train_ml
 
-        def apply(params, rng, method, *args, **kw):
+        def apply(params, rng, method, *args, ckpt=False, **kw):
             kw["deterministic"] = deterministic
-            if deterministic:
-                return model.apply(params, *args, method=method, **kw)
-            return model.apply(params, *args, method=method,
-                               rngs={"dropout": rng}, **kw)
+            static_kw = {k: v for k, v in kw.items()
+                         if v is None or isinstance(v, (bool, int, float, str))}
+            arr_kw = {k: v for k, v in kw.items() if k not in static_kw}
+
+            def call(params, rng, args, arr_kw):
+                kw2 = {**arr_kw, **static_kw}
+                if deterministic:
+                    return model.apply(params, *args, method=method, **kw2)
+                return model.apply(params, *args, method=method,
+                                   rngs={"dropout": rng}, **kw2)
+
+            if ckpt and model_ckpt:
+                call = jax.checkpoint(call)
+            return call(params, rng, args, arr_kw)
 
         def rollout(params, batch, rng):
             B = batch["scan_idx"].shape[0]
@@ -646,6 +729,15 @@ class NavRollout:
             txt_embeds = apply(params, rng_txt, GoatModel.forward_text,
                                batch["txt_ids"], batch["txt_masks"], **tkw)
             txt_masks = batch["txt_masks"]
+            # hoist the cross-attention K/V projections of the instruction
+            # out of the scan: the text is constant across steps, so these
+            # per-layer matmuls are done once per episode instead of once
+            # per step (exact same math; no rngs — projections only).
+            # GOAT_TXT_KV=0 restores per-step projections (A/B lever).
+            txt_kv = None
+            if os.environ.get("GOAT_TXT_KV", "1") == "1":
+                txt_kv = model.apply(params, txt_embeds,
+                                     method=GoatModel.forward_text_kv)
 
             st = self.init_state(
                 batch, need_dtw=train_ml and feedback != "teacher")
@@ -678,7 +770,7 @@ class NavRollout:
                 pano_embeds, pano_masks, pano_fused = apply(
                     params, rp, GoatModel.forward_panorama,
                     pano_img, pano["loc"], pano["nav_types"], pano["mask"],
-                    **obj_kw)
+                    ckpt=True, **obj_kw)
                 if pano_fused is None:  # avg fallback (agent.py:550-552)
                     m = pano_masks[..., None].astype(pano_embeds.dtype)
                     pano_fused = (jnp.sum(pano_embeds * m, 1)
@@ -720,7 +812,8 @@ class NavRollout:
                 if "front_gmap_feats" in batch:
                     nav_in["front_gmap_feats"] = batch["front_gmap_feats"]
                 outs = apply(params, rn, GoatModel.forward_navigation,
-                             txt_embeds, txt_masks, **nav_in)
+                             txt_embeds, txt_masks, ckpt=True,
+                             txt_kv=txt_kv, **nav_in)
                 logits = outs["fused_logits"]
                 st = {**st, "last_embeds": jnp.where(
                     act[:, None], outs["cls_embeds"], st["last_embeds"])}
@@ -925,7 +1018,10 @@ class NavRollout:
                     step_fn = jax.checkpoint(
                         step, policy=jax.checkpoint_policies
                         .save_only_these_names("blk"))
-                elif remat == "none":
+                elif remat in ("none", "model"):
+                    # 'model': per-call checkpoints already applied inside
+                    # `apply`; the step itself is NOT rematerialized, so all
+                    # bookkeeping primals are saved rather than recomputed
                     step_fn = step
                 else:
                     raise ValueError(remat)
@@ -1045,6 +1141,276 @@ class NavRollout:
                 out["visited_t"] = recs["visited_t"]
                 out["cur_vp_t"] = recs["cur_vp_t"]
             return out
+
+        return rollout
+
+    def build_teacher_rollout_vec(self, deterministic: bool = False,
+                                  remat: str = "model"):
+        """Teacher-forced IL rollout with the panorama encoder VECTORIZED
+        over steps (training-only twin of build_rollout('teacher',
+        train_ml=True)).
+
+        Under teacher forcing the trajectory — and therefore every
+        geometric model input — is independent of the parameters: the
+        expert follows batch['gt_path'] (agent.py:306-331) and the node
+        table evolves deterministically.  So the rollout splits into:
+
+          A. a model-free geometry scan producing all per-step pano/nav
+             inputs, expert targets and embedding scatter indices;
+          B. ONE batched forward_panorama over the flattened [T*B] steps
+             (T small matmuls become one MXU-sized call, and the feature
+             gathers coalesce into single DMAs);
+          C. a nav-only scan (the [MEM] token feeds the next step's
+             global/local branches, vilmodel_GOAT.py:822-826, so this part
+             stays sequential) that rebuilds the running node embeddings
+             from recorded indices and accumulates the CE loss.
+
+        Loss/grad are EXACTLY equal to the scan rollout when
+        deterministic=True (tests/test_vec_teacher.py); under dropout the
+        draws differ (one mask per phase-B call instead of per step) —
+        same Bernoulli distributions, documented randomness divergence.
+        Returns the training subset of build_rollout's outputs."""
+        model, w, r, c = self.model, self.world, self.rcfg, self.mcfg
+        # every policy except 'none' checkpoints the model calls: the
+        # batched [T*B] pano forward and the per-step nav forwards must
+        # not store their internals (the pano FFN-wide tensors alone are
+        # ~220MB each at B=64) — save inputs/outputs, recompute in bwd
+        model_ckpt = remat != "none"
+
+        def apply(params, rng, method, *args, ckpt=False, **kw):
+            kw["deterministic"] = deterministic
+            static_kw = {k: v for k, v in kw.items()
+                         if v is None or isinstance(v, (bool, int, float, str))}
+            arr_kw = {k: v for k, v in kw.items() if k not in static_kw}
+
+            def call(params, rng, args, arr_kw):
+                kw2 = {**arr_kw, **static_kw}
+                if deterministic:
+                    return model.apply(params, *args, method=method, **kw2)
+                return model.apply(params, *args, method=method,
+                                   rngs={"dropout": rng}, **kw2)
+
+            if ckpt and model_ckpt:
+                call = jax.checkpoint(call)
+            return call(params, rng, args, arr_kw)
+
+        T = r.horizon
+        N, N1 = r.num_nodes, r.num_nodes + 1
+        objnav = w.num_objs > 0 and c.is_objnav
+
+        def rollout(params, batch, rng):
+            B = batch["scan_idx"].shape[0]
+            bidx = jnp.arange(B)
+            rng_txt, rng_pano, rng_loop = jax.random.split(rng, 3)
+
+            tkw = {}
+            for src, dst in (("instr_z_direction_features", "z_direc_embeds"),
+                             ("instr_z_direction_pzs", "z_direc_pzs"),
+                             ("instr_z_landmark_features", "z_landm_embeds"),
+                             ("instr_z_landmark_pzs", "z_landm_pzs"),
+                             ("front_txt_feats", "front_txt_embeds")):
+                if src in batch:
+                    tkw[dst] = batch[src]
+            txt_embeds = apply(params, rng_txt, GoatModel.forward_text,
+                               batch["txt_ids"], batch["txt_masks"], **tkw)
+            txt_masks = batch["txt_masks"]
+            txt_kv = None
+            if os.environ.get("GOAT_TXT_KV", "1") == "1":
+                txt_kv = model.apply(params, txt_embeds,
+                                     method=GoatModel.forward_text_kv)
+
+            st = self.init_state(batch, need_dtw=False)
+            # the embedding state lives in phase C; the geometry scan only
+            # records the scatter indices that drive it
+            for k in ("embed_sum", "embed_cnt", "stop_prob", "last_embeds"):
+                st.pop(k, None)
+
+            # ---------------- phase A: geometry scan (no model) --------
+            def geo_step(st, t):
+                act = ~st["ended"]
+                st = {**st, "step_id": st["step_id"].at[bidx, st["cur"]].set(
+                    jnp.where(act, t + 1, st["step_id"][bidx, st["cur"]]))}
+                cur_slot = st["cur"]
+                cur_vp = st["node_vp"][bidx, cur_slot]
+                vi = st["view_ix"]
+                # full pano-input trace: the img/loc gathers are unused
+                # here and dead-code-eliminated by XLA; only the candidate
+                # tables / camera / masks survive into the recorded ys
+                pano = self._pano_inputs(st, batch)
+                cands = pano["cands"]
+                K = cands["local"].shape[1]
+                known = jnp.where(
+                    jnp.arange(N)[None, :] < st["n_nodes"][:, None],
+                    st["node_vp"][:, :N], -2)
+                cmatch = known[:, None, :] == cands["local"][:, :, None]
+                cnode = jnp.argmax(cmatch, -1).astype(jnp.int32)
+                chas = cmatch.any(-1) & cands["mask"]
+                cand_vis = st["visited"][bidx[:, None], cnode]
+                add = cands["mask"] & ~cand_vis & act[:, None] & cmatch.any(-1)
+                tgt = jnp.where(add, cnode, r.num_nodes)
+
+                nav_geo, aux = self._nav_inputs(st, batch, pano, None,
+                                                cnode=cnode, has=chas,
+                                                embeds=False)
+                target = self._teacher(st, batch, aux, t, imitation=True)
+                a = jnp.maximum(target, 0)
+                goal = batch["gt_path"][bidx, batch["gt_len"] - 1]
+                a_stop = (cur_vp == goal) | (a == 0)
+                just_ended = act & (a_stop | aux["no_vp_left"]
+                                    | (t == T - 1))
+                moves = act & ~just_ended
+                tgt_node = jnp.clip(a - 2, 0, r.num_nodes - 1)
+
+                # camera update (arrival-edge view of prev->action)
+                _, prev = self._expand_path(st, tgt_node, r.seg_len)
+                scan = batch["scan_idx"]
+                rev = st["enext"][bidx, tgt_node, st["cur"]]
+                prev = jnp.where(rev >= 0, rev, prev)
+                prev_vp = st["node_vp"][bidx, prev]
+                pc = w.get_cands(scan, prev_vp)
+                pk = jnp.argmax(
+                    (pc["local"] == st["node_vp"][bidx, tgt_node][:, None])
+                    & pc["mask"], axis=1)
+                new_view = pc["ptid"][bidx, pk]
+
+                st = {**st,
+                      "view_ix": jnp.where(moves, new_view, st["view_ix"]),
+                      "cur": jnp.where(moves, tgt_node, st["cur"]),
+                      "ended": st["ended"] | just_ended}
+                st = self._arrive(st, batch, st["cur"], skip=~moves)
+                keep = ~st["emb_clear"] if "emb_clear" in st \
+                    else jnp.ones((B, N1), bool)
+
+                ys = dict(cur_vp=cur_vp, view_ix=vi, act=act,
+                          cur_slot=cur_slot, add=add, tgt=tgt, keep=keep,
+                          target=target, geo=nav_geo)
+                if objnav and "gt_obj_slot" in batch:
+                    ys["at_goal"] = cur_vp == goal
+                return st, ys
+
+            st, ys = jax.lax.scan(geo_step, st, jnp.arange(T))
+
+            # ---------------- phase B: batched panorama ----------------
+            def flat(x):
+                return x.reshape((T * B,) + x.shape[2:])
+
+            def tile(x):
+                return jnp.tile(jnp.asarray(x),
+                                (T,) + (1,) * (jnp.asarray(x).ndim - 1))
+
+            scan_f = tile(batch["scan_idx"])
+            use_aug = batch.get("use_aug")
+            pano_f = self._pano_inputs(
+                None, batch, cur_vp=flat(ys["cur_vp"]),
+                view_ix=flat(ys["view_ix"]), scan=scan_f,
+                use_aug=None if use_aug is None else tile(use_aug))
+            obj_kw = {}
+            if pano_f.get("objs") is not None:
+                obj_kw = dict(obj_fts=pano_f["objs"]["feat"],
+                              obj_masks=pano_f["objs"]["mask"],
+                              obj_names=pano_f["objs"]["name"])
+            if "img_z_features" in batch:
+                obj_kw["z_img_features"] = tile(batch["img_z_features"])
+                obj_kw["z_img_pzs"] = tile(batch["img_z_pzs"])
+            pano_img = pano_f["img"]
+            if "feat_noise" in batch:
+                pano_img = pano_img * batch["feat_noise"][None, None, :]
+                obj_kw["already_dropout"] = True
+            pano_embeds_f, pano_masks_f, pano_fused_f = apply(
+                params, rng_pano, GoatModel.forward_panorama,
+                pano_img, pano_f["loc"], pano_f["nav_types"],
+                pano_f["mask"], ckpt=True, **obj_kw)
+            if pano_fused_f is None:
+                m = pano_masks_f[..., None].astype(pano_embeds_f.dtype)
+                pano_fused_f = (jnp.sum(pano_embeds_f * m, 1)
+                                / jnp.maximum(jnp.sum(m, 1), 1.0))
+
+            def unflat(x):
+                return x.reshape((T, B) + x.shape[1:])
+
+            pano_embeds = unflat(pano_embeds_f)
+            pano_fused = unflat(pano_fused_f)
+            K = pano_f["cands"]["local"].shape[1]
+            oid = None
+            if objnav and pano_f.get("objs") is not None:
+                oid = unflat(pano_f["objs"]["oid"])
+
+            # ---------------- phase C: nav-only scan -------------------
+            D = c.hidden_size
+            xs = dict(pe=pano_embeds, pf=pano_fused, act=ys["act"],
+                      cur=ys["cur_slot"], add=ys["add"], tgt=ys["tgt"],
+                      keep=ys["keep"], target=ys["target"], geo=ys["geo"],
+                      t=jnp.arange(T))
+            if oid is not None and "at_goal" in ys:
+                xs["oid"] = oid
+                xs["at_goal"] = ys["at_goal"]
+
+            def nav_step(carry, xs_t):
+                es, ec, last = carry
+                act = xs_t["act"]
+                cur = xs_t["cur"]
+                es = es.at[bidx, cur].set(
+                    jnp.where(act[:, None], xs_t["pf"], es[bidx, cur]))
+                ec = ec.at[bidx, cur].set(jnp.where(act, 1.0, ec[bidx, cur]))
+                es = es.at[bidx[:, None], xs_t["tgt"]].add(
+                    jnp.where(xs_t["add"][..., None],
+                              xs_t["pe"][:, :K].astype(jnp.float32), 0.0))
+                ec = ec.at[bidx[:, None], xs_t["tgt"]].add(
+                    xs_t["add"].astype(jnp.float32))
+
+                gmap_img, vp_img = _nav_embed_assemble(
+                    es, ec, last, xs_t["pe"], N, D)
+                nav_in = dict(xs_t["geo"], gmap_img_embeds=gmap_img,
+                              vp_img_embeds=vp_img)
+                if "front_vp_feats" in batch:
+                    nav_in["front_vp_feats"] = batch["front_vp_feats"]
+                if "front_gmap_feats" in batch:
+                    nav_in["front_gmap_feats"] = batch["front_gmap_feats"]
+                rn = jax.random.split(
+                    jax.random.fold_in(rng_loop, xs_t["t"]), 2)[1]
+                outs = apply(params, rn, GoatModel.forward_navigation,
+                             txt_embeds, txt_masks, ckpt=True,
+                             txt_kv=txt_kv, **nav_in)
+                logits = outs["fused_logits"]
+                last = jnp.where(act[:, None], outs["cls_embeds"], last)
+
+                og_loss = jnp.zeros((B,))
+                if "oid" in xs_t and "gt_obj_slot" in batch:
+                    gt_slot = batch["gt_obj_slot"]
+                    has_obj = jnp.any(jnp.isfinite(outs["obj_logits"]),
+                                      axis=1)
+                    ok = act & xs_t["at_goal"] & (gt_slot >= 0) & has_obj
+                    safe = jnp.where(has_obj[:, None],
+                                     outs["obj_logits"], 0.0)
+                    ologp = jax.nn.log_softmax(safe, axis=1)
+                    oli = jnp.take_along_axis(
+                        ologp, jnp.maximum(gt_slot, 0)[:, None], 1)[:, 0]
+                    og_loss = -jnp.where(ok, oli, 0.0)
+
+                target = xs_t["target"]
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
+                tgt_ok = target >= 0
+                li = jnp.take_along_axis(
+                    logp, jnp.maximum(target, 0)[:, None], axis=1)[:, 0]
+                step_loss = -jnp.where(tgt_ok, li, 0.0) + og_loss
+
+                keep = xs_t["keep"]
+                es = es * keep[..., None]
+                ec = ec * keep
+                return (es, ec, last), step_loss.astype(jnp.float32)
+
+            carry0 = (jnp.zeros((B, N1, D), jnp.float32),
+                      jnp.zeros((B, N1), jnp.float32),
+                      jnp.zeros((B, D), jnp.float32))
+            _, losses = jax.lax.scan(nav_step, carry0, xs)
+
+            return dict(
+                ml_loss=jnp.sum(losses) / B,
+                loss_per_ep=jnp.sum(losses, axis=0),
+                targets=ys["target"],
+                overflow_n=st["overflow_n"], spilled_n=st["spilled_n"],
+                n_nodes=st["n_nodes"],
+            )
 
         return rollout
 

@@ -73,7 +73,8 @@ def make_train_step(rollout: NavRollout, tx,
                     train_alg: str = "dagger", ml_weight: float = 0.2,
                     sample_feedback: str = "sample",
                     expl_max_ratio: float = 0.6, remat: str = "full",
-                    teacher_horizon: Optional[int] = None):
+                    teacher_horizon: Optional[int] = None,
+                    vectorized_teacher: bool = True):
     """sample_feedback='expl_sample' replicates --expl_sample runs
     (agent.py:436).
 
@@ -98,8 +99,17 @@ def make_train_step(rollout: NavRollout, tx,
         t_ro = NavRollout(rollout.model, rollout.world,
                           _dc.replace(rollout.rcfg,
                                       horizon=teacher_horizon))
-    teacher_fn = t_ro.build_rollout("teacher", train_ml=True,
-                                    deterministic=False, remat=remat)
+    # vectorized teacher: under teacher forcing the trajectory is
+    # parameter-independent, so the pano encoder runs ONCE over all steps
+    # and only the nav branch scans (rollout.build_teacher_rollout_vec).
+    # Loss-identical without dropout; under dropout the draws differ
+    # (documented randomness divergence, like the rbg PRNG).
+    if vectorized_teacher:
+        teacher_fn = t_ro.build_teacher_rollout_vec(deterministic=False,
+                                                    remat=remat)
+    else:
+        teacher_fn = t_ro.build_rollout("teacher", train_ml=True,
+                                        deterministic=False, remat=remat)
     sample_fn = rollout.build_rollout(sample_feedback, train_ml=True,
                                      deterministic=False,
                                      expl_max_ratio=expl_max_ratio,
