@@ -13,6 +13,7 @@ Departures from the reference that are deliberate TPU-first redesigns:
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -261,6 +262,27 @@ class GoatModel(nn.Module):
         }
 
     # ------------------------------------------------------------------
+    def nav_grouped_weights(self):
+        """Stacked [2, ...] global/local encoder weights for the grouped
+        dual-branch path — computed ONCE per rollout (outside the scan, a
+        loop-invariant operand) so neither the stacking nor the bf16 cast
+        of ~70MB of weights is replayed per step / per remat recompute.
+        Dense kernels are pre-cast to the compute dtype; LayerNorm params
+        stay f32 (their multiply happens in f32, _LNWeights parity)."""
+        from .layers import stack_group_params
+
+        st = stack_group_params(
+            self.global_encoder.encoder.variables["params"],
+            self.local_encoder.encoder.variables["params"])
+
+        def cast(path, x):
+            if path[-1].key == "kernel":
+                return x.astype(self.dtype)
+            return x
+
+        return jax.tree_util.tree_map_with_path(cast, st)
+
+    # ------------------------------------------------------------------
     # mode: 'navigation' (vilmodel_GOAT.py:739-839)
     def forward_navigation(
         self, txt_embeds, txt_masks,
@@ -269,31 +291,69 @@ class GoatModel(nn.Module):
         vp_img_embeds, vp_pos_fts, vp_masks, vp_nav_masks,
         local_to_gmap, vp_obj_masks=None,
         front_vp_feats=None, front_gmap_feats=None, txt_kv=None,
-        deterministic=True,
+        nav_w=None, deterministic=True,
     ) -> Dict[str, jnp.ndarray]:
         c = self.config
 
-        # global branch
+        # global branch input
         gmap_embeds = self.global_encoder.input_embed(
             gmap_img_embeds, gmap_step_ids, gmap_pos_fts)
         graph_sprels = self.global_encoder.sprel_bias(gmap_pair_dists)
         if front_gmap_feats is not None:
             gmap_embeds = self.front_global_encoder(
                 gmap_embeds, front_gmap_feats, gmap_masks, deterministic)
-        gmap_embeds = self.global_encoder.encoder(
-            gmap_embeds, gmap_masks, txt_embeds, txt_masks,
-            graph_sprels=graph_sprels, deterministic=deterministic,
-            kv_caches=None if txt_kv is None else txt_kv["global"])
-
-        # local branch
+        # local branch input
         vp_embeds = vp_img_embeds + self.local_encoder.pos_embed(vp_pos_fts)
         if front_vp_feats is not None:
             vp_embeds = self.front_local_encoder(
                 vp_embeds, front_vp_feats, vp_masks, deterministic)
-        vp_embeds = self.local_encoder.encoder(
-            vp_embeds, vp_masks, txt_embeds, txt_masks,
-            deterministic=deterministic,
-            kv_caches=None if txt_kv is None else txt_kv["local"])
+
+        # grouped dual-branch path: both ~50-token encoders run as ONE
+        # stacked-weight computation (layers.grouped_dual_cross_encoder) —
+        # the rollout scan's per-step matmuls double their rows and halve
+        # their dispatch count.  Same math; requires the caller to hoist
+        # nav_w (nav_grouped_weights) and txt_kv out of its step loop.
+        use_grouped = (nav_w is not None and txt_kv is not None
+                       and not self.is_initializing())
+        if use_grouped:
+            from .layers import grouped_dual_cross_encoder
+
+            G = gmap_embeds.shape[1]
+            Ll = vp_embeds.shape[1]
+            Lm = max(G, Ll)
+            B = gmap_embeds.shape[0]
+
+            def padL(x, val=0.0):
+                pad = [(0, 0)] * x.ndim
+                pad[1] = (0, Lm - x.shape[1])
+                return jnp.pad(x, pad, constant_values=val)
+
+            h0 = jnp.stack([padL(gmap_embeds), padL(vp_embeds)])
+            neg_g = extend_neg_masks(padL(gmap_masks, False))   # [B,1,1,Lm]
+            neg_l = extend_neg_masks(padL(vp_masks, False))
+            bias_g = jnp.broadcast_to(neg_g, (B, 1, Lm, Lm))
+            if graph_sprels is not None:
+                sp = jnp.pad(graph_sprels.astype(jnp.float32),
+                             ((0, 0), (0, 0), (0, Lm - G), (0, Lm - G)))
+                bias_g = bias_g + sp
+            bias_l = jnp.broadcast_to(neg_l, (B, 1, Lm, Lm))
+            self_bias = jnp.stack([bias_g, bias_l])    # [2, B, 1, Lm, Lm]
+            cross_bias = extend_neg_masks(txt_masks)
+            out = grouped_dual_cross_encoder(
+                self, nav_w, h0, self_bias, cross_bias,
+                txt_kv["global"], txt_kv["local"], c, self.dtype,
+                deterministic=deterministic)
+            gmap_embeds = out[0][:, :G]
+            vp_embeds = out[1][:, :Ll]
+        else:
+            gmap_embeds = self.global_encoder.encoder(
+                gmap_embeds, gmap_masks, txt_embeds, txt_masks,
+                graph_sprels=graph_sprels, deterministic=deterministic,
+                kv_caches=None if txt_kv is None else txt_kv["global"])
+            vp_embeds = self.local_encoder.encoder(
+                vp_embeds, vp_masks, txt_embeds, txt_masks,
+                deterministic=deterministic,
+                kv_caches=None if txt_kv is None else txt_kv["local"])
 
         # fusion weights (vilmodel_GOAT.py:777-786)
         if c.glocal_fuse:

@@ -738,6 +738,18 @@ class NavRollout:
             if os.environ.get("GOAT_TXT_KV", "1") == "1":
                 txt_kv = model.apply(params, txt_embeds,
                                      method=GoatModel.forward_text_kv)
+            # grouped dual-branch nav encoder: stacked [2,...] weights
+            # hoisted out of the scan.  Opt-in (GOAT_GROUPED_NAV=1): the
+            # grouped form measured SLOWER on chip (84.8 vs 96.5 eps/s
+            # train) — XLA already schedules the two small branches well,
+            # and batch-2 dot_generals tile worse than two flat matmuls.
+            nav_w = None
+            if (txt_kv is not None
+                    and os.environ.get("GOAT_GROUPED_NAV", "0") == "1"
+                    and not getattr(self.mcfg, "use_pallas_attention",
+                                    False)):
+                nav_w = model.apply(params,
+                                    method=GoatModel.nav_grouped_weights)
 
             st = self.init_state(
                 batch, need_dtw=train_ml and feedback != "teacher")
@@ -813,7 +825,7 @@ class NavRollout:
                     nav_in["front_gmap_feats"] = batch["front_gmap_feats"]
                 outs = apply(params, rn, GoatModel.forward_navigation,
                              txt_embeds, txt_masks, ckpt=True,
-                             txt_kv=txt_kv, **nav_in)
+                             txt_kv=txt_kv, nav_w=nav_w, **nav_in)
                 logits = outs["fused_logits"]
                 st = {**st, "last_embeds": jnp.where(
                     act[:, None], outs["cls_embeds"], st["last_embeds"])}
@@ -1218,6 +1230,13 @@ class NavRollout:
             if os.environ.get("GOAT_TXT_KV", "1") == "1":
                 txt_kv = model.apply(params, txt_embeds,
                                      method=GoatModel.forward_text_kv)
+            nav_w = None
+            if (txt_kv is not None
+                    and os.environ.get("GOAT_GROUPED_NAV", "0") == "1"
+                    and not getattr(self.mcfg, "use_pallas_attention",
+                                    False)):
+                nav_w = model.apply(params,
+                                    method=GoatModel.nav_grouped_weights)
 
             st = self.init_state(batch, need_dtw=False)
             # the embedding state lives in phase C; the geometry scan only
@@ -1370,7 +1389,7 @@ class NavRollout:
                     jax.random.fold_in(rng_loop, xs_t["t"]), 2)[1]
                 outs = apply(params, rn, GoatModel.forward_navigation,
                              txt_embeds, txt_masks, ckpt=True,
-                             txt_kv=txt_kv, **nav_in)
+                             txt_kv=txt_kv, nav_w=nav_w, **nav_in)
                 logits = outs["fused_logits"]
                 last = jnp.where(act[:, None], outs["cls_embeds"], last)
 
