@@ -95,7 +95,9 @@ class AttentionCore(nn.Module):
         # gmap 50) and loses for tiny ones (local branch 18) where XLA's
         # flattened [B*L, D] GEMMs are already efficient — gate by Lq
         min_lq = int(os.environ.get("GOAT_PALLAS_MIN_LQ", "32"))
-        if self.use_pallas and kv_cache is None and q_in.shape[1] >= min_lq:
+        if (self.use_pallas and kv_cache is None
+                and os.environ.get("GOAT_PALLAS_ATTN", "1") == "1"
+                and q_in.shape[1] >= min_lq):
             from ..ops.attention import _default_interpret, \
                 pallas_fused_qkv_mha
 
@@ -211,6 +213,7 @@ class BertAttention(nn.Module):
         min_lq = int(os.environ.get("GOAT_PALLAS_MIN_LQ", "32"))
         use_block = (getattr(c, "use_pallas_attention", False)
                      and os.environ.get("GOAT_PALLAS_BLOCK", "1") == "1"
+                     and os.environ.get("GOAT_PALLAS_ATTN", "1") == "1"
                      and kv_cache is None
                      and hidden.shape[1] >= min_lq)
         if use_block:

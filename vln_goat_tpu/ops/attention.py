@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -661,12 +662,34 @@ def pallas_fused_attn_block(x, y, wq, bq, wk, bk, wv, bv, wo, bo,
     if seed is None:
         seed = jnp.zeros((B,), jnp.int32)
     wo3 = wo.reshape(H, dh, D)
-    return _fused_attn_block(
+
+    # Row-blocking: fold rb examples into one grid block so the q/k/v and
+    # out projections run on [rb*Lq, 768]-row matmuls instead of ~50-row
+    # ones (the round-2 per-example grid starved the MXU).  Attention
+    # between different examples is forbidden by a block-diagonal bias
+    # (-1e9 off-diagonal -> exactly-0 probs after the f32 softmax); the
+    # score/context matmuls do rb x redundant masked work — cheap next to
+    # the projection win.  Numerics otherwise identical (dropout draws
+    # move between rows).  GOAT_PALLAS_ATTN_RB tunes; rb=4 keeps the
+    # [H, rb*Lq, rb*Lk] f32 score tensors well under the VMEM cap.
+    rb = math.gcd(B, int(os.environ.get("GOAT_PALLAS_ATTN_RB", "4")))
+    if rb > 1:
+        Bg = B // rb
+        NEG = jnp.asarray(-1e9, bias4.dtype)
+        t = bias4.reshape(Bg, rb, Hb, Lq, Lk)[:, :, None]
+        eye = jnp.eye(rb, dtype=bool)[None, :, :, None, None, None]
+        bias4 = jnp.where(eye, t, NEG).transpose(0, 3, 1, 4, 2, 5) \
+            .reshape(Bg, Hb, rb * Lq, rb * Lk)
+        x = x.reshape(Bg, rb * Lq, D)
+        y = y.reshape(Bg, rb * Lk, D)
+        seed = seed[::rb]
+    out = _fused_attn_block(
         x, y, heads_w(wq), heads_b(bq), heads_w(wk), heads_b(bk),
         heads_w(wv), heads_b(bv), bias4, seed.astype(jnp.int32),
         wo3, bo.reshape(1, D), gamma.reshape(1, D), beta.reshape(1, D),
         float(attn_dropout), float(hidden_dropout), float(ln_eps),
         bool(interpret))
+    return out.reshape(B, Lq, D)
 
 
 # ---------------------------------------------------------------------------
@@ -859,13 +882,26 @@ def pallas_fused_ffn_block(x, w1, b1, w2, b2, gamma, beta,
     """Whole FFN sublayer: LayerNorm(x + Drop(Dense(gelu(Dense(x))))).
 
     x [B, L, D]; w1 [D, F], w2 [F, D]; erf-gelu (reference
-    Bert_backbone.py:40-46); reference numerics (f32 internals, LN eps)."""
+    Bert_backbone.py:40-46); reference numerics (f32 internals, LN eps).
+
+    Row-blocking: the FFN math is purely row-wise (matmuls over rows,
+    per-row LN, per-element gelu/dropout, weight grads summed over rows),
+    so RB examples are folded into one grid block via a pure reshape
+    [B, L, D] -> [B/rb, rb*L, D].  The original per-example grid ran
+    [~50, 768]x[768, 3072] matmuls — far too few rows for the MXU (the
+    round-2 A/B loss); rb=8 gives ~400-row matmuls with identical
+    numerics (dropout draws move between rows: same Bernoulli
+    distributions, documented divergence).  GOAT_PALLAS_FFN_RB tunes."""
     if interpret is None:
         interpret = _default_interpret()
     B, L, D = x.shape
     if seed is None:
         seed = jnp.zeros((B,), jnp.int32)
-    return _fused_ffn_block(
-        x, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1),
-        gamma.reshape(1, -1), beta.reshape(1, -1), seed.astype(jnp.int32),
+    rb = math.gcd(B, int(os.environ.get("GOAT_PALLAS_FFN_RB", "8")))
+    x2 = x.reshape(B // rb, rb * L, D)
+    out = _fused_ffn_block(
+        x2, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1),
+        gamma.reshape(1, -1), beta.reshape(1, -1),
+        seed[::rb].astype(jnp.int32),
         float(hidden_dropout), float(ln_eps), bool(interpret))
+    return out.reshape(B, L, D)

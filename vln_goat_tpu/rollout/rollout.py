@@ -111,6 +111,14 @@ def _nav_embed_assemble(embed_sum, embed_cnt, last_embeds, pano_embeds,
     return gmap_img_embeds, vp_img_embeds
 
 
+def _scan_unroll() -> int:
+    """Unroll factor for the rollout scans (GOAT_SCAN_UNROLL, default 1).
+    Unrolling lets XLA's scheduler overlap adjacent steps' copies/compute
+    at the cost of compile time; measured on chip before changing the
+    default."""
+    return int(os.environ.get("GOAT_SCAN_UNROLL", "1"))
+
+
 # 36x36 table: angle features of view v relative to base view b
 _PANO_ANG = None
 
@@ -356,6 +364,52 @@ class NavRollout:
             # embedding scan can replay the clear (popped from the carry)
             out["emb_clear"] = emb_clear
         return out
+
+    # ------------------------------------------------------------------
+    def encode_text(self, params, batch, rng, deterministic: bool = False):
+        """Per-episode instruction encoding bundle: txt_embeds + the
+        hoisted cross-attention K/V caches (+ grouped nav weights when
+        enabled).  Computed once per rollout; the trainer's 'dagger' alg
+        computes it once and SHARES it across its teacher+sample rollouts
+        (both run on the same minibatch there) — exact when deterministic,
+        one dropout draw instead of two otherwise.
+
+        BACL/FACL banks ride the batch when configured (broadcast by
+        tools.zdict.broadcast_zdict; agent.py:51-64, 496-512)."""
+        model = self.model
+        tkw = {}
+        for src, dst in (("instr_z_direction_features", "z_direc_embeds"),
+                         ("instr_z_direction_pzs", "z_direc_pzs"),
+                         ("instr_z_landmark_features", "z_landm_embeds"),
+                         ("instr_z_landmark_pzs", "z_landm_pzs"),
+                         ("front_txt_feats", "front_txt_embeds")):
+            if src in batch:
+                tkw[dst] = batch[src]
+        tkw["deterministic"] = deterministic
+        rngs = None if deterministic else {"dropout": rng}
+        txt_embeds = model.apply(params, batch["txt_ids"],
+                                 batch["txt_masks"],
+                                 method=GoatModel.forward_text,
+                                 **({} if rngs is None else {"rngs": rngs}),
+                                 **tkw)
+        # hoist the cross-attention K/V projections of the instruction out
+        # of the scan: the text is constant across steps, so these
+        # per-layer matmuls are done once per episode instead of once per
+        # step (exact same math; no rngs — projections only).
+        # GOAT_TXT_KV=0 restores per-step projections (A/B lever).
+        txt_kv = None
+        if os.environ.get("GOAT_TXT_KV", "1") == "1":
+            txt_kv = model.apply(params, txt_embeds,
+                                 method=GoatModel.forward_text_kv)
+        # grouped dual-branch nav encoder: stacked [2,...] weights hoisted
+        # out of the scan.  Opt-in (GOAT_GROUPED_NAV=1): the grouped form
+        # measured SLOWER on chip (84.8 vs 96.5 eps/s train).
+        nav_w = None
+        if (txt_kv is not None
+                and os.environ.get("GOAT_GROUPED_NAV", "0") == "1"
+                and not getattr(self.mcfg, "use_pallas_attention", False)):
+            nav_w = model.apply(params, method=GoatModel.nav_grouped_weights)
+        return dict(embeds=txt_embeds, kv=txt_kv, nav_w=nav_w)
 
     # ------------------------------------------------------------------
     def _pano_inputs(self, st, batch, cur_vp=None, view_ix=None,
@@ -711,45 +765,19 @@ class NavRollout:
                 call = jax.checkpoint(call)
             return call(params, rng, args, arr_kw)
 
-        def rollout(params, batch, rng):
+        def rollout(params, batch, rng, txt=None):
             B = batch["scan_idx"].shape[0]
             bidx = jnp.arange(B)
             rng_txt, rng_loop = jax.random.split(rng)
 
-            # BACL/FACL banks ride the batch when configured (broadcast by
-            # tools.zdict.broadcast_zdict; agent.py:51-64, 496-512)
-            tkw = {}
-            for src, dst in (("instr_z_direction_features", "z_direc_embeds"),
-                             ("instr_z_direction_pzs", "z_direc_pzs"),
-                             ("instr_z_landmark_features", "z_landm_embeds"),
-                             ("instr_z_landmark_pzs", "z_landm_pzs"),
-                             ("front_txt_feats", "front_txt_embeds")):
-                if src in batch:
-                    tkw[dst] = batch[src]
-            txt_embeds = apply(params, rng_txt, GoatModel.forward_text,
-                               batch["txt_ids"], batch["txt_masks"], **tkw)
+            # txt: optionally precomputed by the caller (trainer 'dagger'
+            # shares one instruction encoding across its teacher+sample
+            # rollouts — both run on the same minibatch there)
+            if txt is None:
+                txt = self.encode_text(params, batch, rng_txt,
+                                       deterministic=deterministic)
+            txt_embeds, txt_kv, nav_w = txt["embeds"], txt["kv"], txt["nav_w"]
             txt_masks = batch["txt_masks"]
-            # hoist the cross-attention K/V projections of the instruction
-            # out of the scan: the text is constant across steps, so these
-            # per-layer matmuls are done once per episode instead of once
-            # per step (exact same math; no rngs — projections only).
-            # GOAT_TXT_KV=0 restores per-step projections (A/B lever).
-            txt_kv = None
-            if os.environ.get("GOAT_TXT_KV", "1") == "1":
-                txt_kv = model.apply(params, txt_embeds,
-                                     method=GoatModel.forward_text_kv)
-            # grouped dual-branch nav encoder: stacked [2,...] weights
-            # hoisted out of the scan.  Opt-in (GOAT_GROUPED_NAV=1): the
-            # grouped form measured SLOWER on chip (84.8 vs 96.5 eps/s
-            # train) — XLA already schedules the two small branches well,
-            # and batch-2 dot_generals tile worse than two flat matmuls.
-            nav_w = None
-            if (txt_kv is not None
-                    and os.environ.get("GOAT_GROUPED_NAV", "0") == "1"
-                    and not getattr(self.mcfg, "use_pallas_attention",
-                                    False)):
-                nav_w = model.apply(params,
-                                    method=GoatModel.nav_grouped_weights)
 
             st = self.init_state(
                 batch, need_dtw=train_ml and feedback != "teacher")
@@ -1081,7 +1109,8 @@ class NavRollout:
                         lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
                 else:
                     xs = (jnp.arange(T), keys)
-                    st, recs = jax.lax.scan(step_fn, st, xs)
+                    st, recs = jax.lax.scan(step_fn, st, xs,
+                                            unroll=_scan_unroll())
             else:
                 # inference: early-exit while_loop — episodes average far
                 # fewer than `horizon` steps (the reference breaks when all
@@ -1210,33 +1239,16 @@ class NavRollout:
         N, N1 = r.num_nodes, r.num_nodes + 1
         objnav = w.num_objs > 0 and c.is_objnav
 
-        def rollout(params, batch, rng):
+        def rollout(params, batch, rng, txt=None):
             B = batch["scan_idx"].shape[0]
             bidx = jnp.arange(B)
             rng_txt, rng_pano, rng_loop = jax.random.split(rng, 3)
 
-            tkw = {}
-            for src, dst in (("instr_z_direction_features", "z_direc_embeds"),
-                             ("instr_z_direction_pzs", "z_direc_pzs"),
-                             ("instr_z_landmark_features", "z_landm_embeds"),
-                             ("instr_z_landmark_pzs", "z_landm_pzs"),
-                             ("front_txt_feats", "front_txt_embeds")):
-                if src in batch:
-                    tkw[dst] = batch[src]
-            txt_embeds = apply(params, rng_txt, GoatModel.forward_text,
-                               batch["txt_ids"], batch["txt_masks"], **tkw)
+            if txt is None:
+                txt = self.encode_text(params, batch, rng_txt,
+                                       deterministic=deterministic)
+            txt_embeds, txt_kv, nav_w = txt["embeds"], txt["kv"], txt["nav_w"]
             txt_masks = batch["txt_masks"]
-            txt_kv = None
-            if os.environ.get("GOAT_TXT_KV", "1") == "1":
-                txt_kv = model.apply(params, txt_embeds,
-                                     method=GoatModel.forward_text_kv)
-            nav_w = None
-            if (txt_kv is not None
-                    and os.environ.get("GOAT_GROUPED_NAV", "0") == "1"
-                    and not getattr(self.mcfg, "use_pallas_attention",
-                                    False)):
-                nav_w = model.apply(params,
-                                    method=GoatModel.nav_grouped_weights)
 
             st = self.init_state(batch, need_dtw=False)
             # the embedding state lives in phase C; the geometry scan only
@@ -1307,7 +1319,8 @@ class NavRollout:
                     ys["at_goal"] = cur_vp == goal
                 return st, ys
 
-            st, ys = jax.lax.scan(geo_step, st, jnp.arange(T))
+            st, ys = jax.lax.scan(geo_step, st, jnp.arange(T),
+                                  unroll=_scan_unroll())
 
             # ---------------- phase B: batched panorama ----------------
             def flat(x):
@@ -1421,7 +1434,8 @@ class NavRollout:
             carry0 = (jnp.zeros((B, N1, D), jnp.float32),
                       jnp.zeros((B, N1), jnp.float32),
                       jnp.zeros((B, D), jnp.float32))
-            _, losses = jax.lax.scan(nav_step, carry0, xs)
+            _, losses = jax.lax.scan(nav_step, carry0, xs,
+                                     unroll=_scan_unroll())
 
             return dict(
                 ml_loss=jnp.sum(losses) / B,

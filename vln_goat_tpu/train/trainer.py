@@ -130,11 +130,18 @@ def make_train_step(rollout: NavRollout, tx,
             metrics["il_loss"] = out["ml_loss"]
             metrics["node_overflow"] = jnp.sum(out["overflow_n"])
         elif train_alg == "dagger":
+            # both rollouts run on the SAME minibatch here (the fused alg
+            # carries the reference's two-minibatch semantics), so the
+            # instruction encoding is computed once and shared — exact
+            # when deterministic, one dropout draw instead of two
+            # otherwise (randomness-parity policy: documented divergence)
+            txt = rollout.encode_text(params, batch,
+                                      jax.random.fold_in(rng, 3))
             if ml_weight != 0:
-                out_t = teacher_fn(params, batch, r1)
+                out_t = teacher_fn(params, batch, r1, txt=txt)
                 loss = loss + ml_weight * out_t["ml_loss"]
                 metrics["il_loss"] = out_t["ml_loss"]
-            out_s = sample_fn(params, batch, r2)
+            out_s = sample_fn(params, batch, r2, txt=txt)
             loss = loss + out_s["ml_loss"]
             metrics["sample_loss"] = out_s["ml_loss"]
             # dropped-candidate counter: nonzero means the fixed node table
