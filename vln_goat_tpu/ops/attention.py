@@ -117,8 +117,20 @@ def _keep_mask(shape, rate):
     return pltpu.bitcast(bits, jnp.uint32) >= thresh
 
 
-def _bdot(a, b, ca, cb, batch=True, f32=True):
-    """Batched (over leading H) dot_general shorthand."""
+def _bdot(a, b, ca, cb, batch=True, f32=True, dt=None):
+    """Batched (over leading H) dot_general shorthand.
+
+    dt: cast both operands to this dtype before the dot.  On chip the
+    block dtype is bf16 — an f32 operand (activations that passed through
+    a bias add / softmax / LN, all computed in f32) would otherwise force
+    the MXU into multi-pass f32 matmuls, several times slower than the
+    bf16-in/f32-accumulate native rate XLA uses for the same dense.  The
+    f32 `preferred_element_type` keeps full-precision accumulation; in
+    the CPU/interpret parity tests the model dtype is f32 so the casts
+    are no-ops and exactness is untouched."""
+    if dt is not None:
+        a = a.astype(dt)
+        b = b.astype(dt)
     dn = (((ca,), (cb,)), (((0,), (0,)) if batch else ((), ())))
     return jax.lax.dot_general(
         a, b, dn, preferred_element_type=jnp.float32 if f32 else None)
@@ -135,12 +147,12 @@ def _fa_qkv(x, y, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref):
 
 
 def _fa_probs(q, k, bias_ref, seed_ref, *, Hb, scale, drop,
-              seed_inside=True):
+              seed_inside=True, dt=None):
     """scores -> softmax -> (optional) in-kernel dropout.
     Returns (p, pd, keep): pre-dropout probs, dropped probs, keep mask.
     seed_inside=False when the caller seeded the PRNG already (the fused
     block kernel draws several masks from one per-row seed)."""
-    s = _bdot(q, k, 1, 1) * scale                      # [H, Lq, Lk]
+    s = _bdot(q, k, 1, 1, dt=dt) * scale               # [H, Lq, Lk]
     s = s + bias_ref[0].astype(jnp.float32)            # [Hb, Lq, Lk] bcast
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
@@ -161,8 +173,8 @@ def _fa_fwd_kernel(x_ref, y_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     y = y_ref[0]                                       # [Lk, D]
     q, k, v = _fa_qkv(x, y, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref)
     _, pd, _ = _fa_probs(q, k, bias_ref, seed_ref, Hb=Hb, scale=scale,
-                         drop=drop)
-    o = _bdot(pd, v, 2, 2)                             # [H, Lq, dh]
+                         drop=drop, dt=x.dtype)
+    o = _bdot(pd, v, 2, 2, dt=x.dtype)                 # [H, Lq, dh]
     o_ref[0] = o.astype(o_ref.dtype)
 
 
@@ -186,12 +198,13 @@ def _fa_bwd_kernel(x_ref, y_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     y = y_ref[0]
     inv_keep = 1.0 / (1.0 - drop) if drop > 0.0 else 1.0
     # recompute the forward (cheaper than saving probs through HBM)
+    dt = x.dtype
     q, k, v = _fa_qkv(x, y, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref)
     p, pd, keep = _fa_probs(q, k, bias_ref, seed_ref, Hb=Hb, scale=scale,
-                            drop=drop)
+                            drop=drop, dt=dt)
     dO = do_ref[0].astype(jnp.float32)                 # [H, Lq, dh]
-    dv = _bdot(dO, pd, 1, 1)                           # [H, dh, Lk]
-    dpd = _bdot(dO, v, 2, 1)                           # [H, Lq, Lk]
+    dv = _bdot(dO, pd, 1, 1, dt=dt)                    # [H, dh, Lk]
+    dpd = _bdot(dO, v, 2, 1, dt=dt)                    # [H, Lq, Lk]
     dp = jnp.where(keep, dpd * inv_keep, 0.0) if keep is not None else dpd
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
     if Hb > 1:
@@ -200,18 +213,18 @@ def _fa_bwd_kernel(x_ref, y_ref, wq_ref, bq_ref, wk_ref, bk_ref,
         dbias_ref[0] = jnp.sum(ds, axis=0,
                                keepdims=True).astype(dbias_ref.dtype)
     dss = ds * scale
-    dq = _bdot(dss, k, 2, 2)                           # [H, Lq, dh]
-    dk = _bdot(dss, q, 1, 2)                           # [H, Lk, dh]
-    dx = jnp.sum(_bdot(dq, wq_ref[...], 2, 2), axis=0)    # [Lq, D]
-    dy = jnp.sum(_bdot(dk, wk_ref[...], 2, 2), axis=0) \
-        + jnp.sum(_bdot(dv, wv_ref[...], 1, 2), axis=0)   # [Lk, D]
+    dq = _bdot(dss, k, 2, 2, dt=dt)                    # [H, Lq, dh]
+    dk = _bdot(dss, q, 1, 2, dt=dt)                    # [H, Lk, dh]
+    dx = jnp.sum(_bdot(dq, wq_ref[...], 2, 2, dt=dt), axis=0)    # [Lq, D]
+    dy = jnp.sum(_bdot(dk, wk_ref[...], 2, 2, dt=dt), axis=0) \
+        + jnp.sum(_bdot(dv, wv_ref[...], 1, 2, dt=dt), axis=0)   # [Lk, D]
     dx_ref[0] = dx.astype(dx_ref.dtype)
     dy_ref[0] = dy.astype(dy_ref.dtype)
     # weight/bias grads accumulate across the (sequential) grid;
     # layouts [H, dh, D] / [H, dh, 1], transposed outside
-    dwq_ref[...] += _bdot(dq, x, 1, 0, batch=False)
-    dwk_ref[...] += _bdot(dk, y, 1, 0, batch=False)
-    dwv_ref[...] += _bdot(dv, y, 2, 0, batch=False)
+    dwq_ref[...] += _bdot(dq, x, 1, 0, batch=False, dt=dt)
+    dwk_ref[...] += _bdot(dk, y, 1, 0, batch=False, dt=dt)
+    dwv_ref[...] += _bdot(dv, y, 2, 0, batch=False, dt=dt)
     dbq_ref[...] += jnp.sum(dq, axis=1)[:, :, None]
     dbk_ref[...] += jnp.sum(dk, axis=1)[:, :, None]
     dbv_ref[...] += jnp.sum(dv, axis=2)[:, :, None]
@@ -385,14 +398,15 @@ def _fab_fwd_common(x, y, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
     out).  Seeds the PRNG once when any dropout is active."""
     if drop > 0.0 or hdrop > 0.0:
         pltpu.prng_seed(seed_ref[pl.program_id(0)])
+    dt = x.dtype
     q, k, v = _fa_qkv(x, y, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref)
     p, pd, keep = _fa_probs(q, k, bias_ref, seed_ref, Hb=Hb, scale=scale,
-                            drop=drop, seed_inside=False)
-    ctx = _bdot(pd, v, 2, 2)                          # [H, Lq, dh]
+                            drop=drop, seed_inside=False, dt=dt)
+    ctx = _bdot(pd, v, 2, 2, dt=dt)                   # [H, Lq, dh]
     # out-proj as a batched per-head dot summed over heads (Mosaic only
     # supports a single contracting dim per matmul; the [H, Lq, D]
     # intermediate fits under the raised VMEM cap): wo [H, dh, D]
-    h = jnp.sum(_bdot(ctx, wo_ref[...], 2, 1), axis=0)  # [Lq, D]
+    h = jnp.sum(_bdot(ctx, wo_ref[...], 2, 1, dt=dt), axis=0)  # [Lq, D]
     h = h + bo_ref[...].astype(jnp.float32)             # [1, D]
     keep2 = None
     if hdrop > 0.0:
@@ -453,22 +467,23 @@ def _fab_bwd_kernel(x_ref, y_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     dr = inv_sigma * (dxhat - m1 - xhat * m2)          # [Lq, D]
 
     # hidden dropout + out-proj backward
+    dt = x.dtype
     dh = jnp.where(keep2, dr * (1.0 / (1.0 - hdrop)), 0.0) \
         if keep2 is not None else dr
     dbo_ref[...] += jnp.sum(dh, axis=0)[None, :]
-    dwo_ref[...] += _bdot(ctx, dh, 1, 0, batch=False)   # [H, dh, D]
+    dwo_ref[...] += _bdot(ctx, dh, 1, 0, batch=False, dt=dt)  # [H, dh, D]
     # dctx kept in [H, dh, Lq] orientation (wo [H, dh, D] x dh [Lq, D]
     # contracting D) — every downstream dot is then a leading-batch,
     # single-contraction matmul, the only form Mosaic's tpu.matmul
     # implements (no lane/sublane transposes anywhere)
-    dctxT = _bdot(wo_ref[...], dh, 2, 1, batch=False)   # [H, dh, Lq]
+    dctxT = _bdot(wo_ref[...], dh, 2, 1, batch=False, dt=dt)  # [H, dh, Lq]
 
     # attention backward (mirror of _fa_bwd_kernel, reading dctxT)
     inv_keep = 1.0 / (1.0 - drop) if drop > 0.0 else 1.0
     # dv[h, i, k] = sum_q dctxT[h, i, q] * pd[h, q, k]
-    dv = _bdot(dctxT, pd, 2, 1)                         # [H, dh, Lk]
+    dv = _bdot(dctxT, pd, 2, 1, dt=dt)                  # [H, dh, Lk]
     # dpd[h, q, k] = sum_i dctxT[h, i, q] * v[h, i, k]
-    dpd = _bdot(dctxT, v, 1, 1)                         # [H, Lq, Lk]
+    dpd = _bdot(dctxT, v, 1, 1, dt=dt)                  # [H, Lq, Lk]
     dp = jnp.where(keep, dpd * inv_keep, 0.0) if keep is not None else dpd
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
     if Hb > 1:
@@ -477,17 +492,17 @@ def _fab_bwd_kernel(x_ref, y_ref, wq_ref, bq_ref, wk_ref, bk_ref,
         dbias_ref[0] = jnp.sum(ds, axis=0,
                                keepdims=True).astype(dbias_ref.dtype)
     dss = ds * scale
-    dq = _bdot(dss, k, 2, 2)                            # [H, Lq, dh]
-    dk = _bdot(dss, q, 1, 2)                            # [H, Lk, dh]
-    dx = jnp.sum(_bdot(dq, wq_ref[...], 2, 2), axis=0)  # [Lq, D]
-    dy = jnp.sum(_bdot(dk, wk_ref[...], 2, 2), axis=0) \
-        + jnp.sum(_bdot(dv, wv_ref[...], 1, 2), axis=0)
+    dq = _bdot(dss, k, 2, 2, dt=dt)                     # [H, Lq, dh]
+    dk = _bdot(dss, q, 1, 2, dt=dt)                     # [H, Lk, dh]
+    dx = jnp.sum(_bdot(dq, wq_ref[...], 2, 2, dt=dt), axis=0)  # [Lq, D]
+    dy = jnp.sum(_bdot(dk, wk_ref[...], 2, 2, dt=dt), axis=0) \
+        + jnp.sum(_bdot(dv, wv_ref[...], 1, 2, dt=dt), axis=0)
     dx = dx + dr                                        # residual path
     dx_ref[0] = dx.astype(dx_ref.dtype)
     dy_ref[0] = dy.astype(dy_ref.dtype)
-    dwq_ref[...] += _bdot(dq, x, 1, 0, batch=False)
-    dwk_ref[...] += _bdot(dk, y, 1, 0, batch=False)
-    dwv_ref[...] += _bdot(dv, y, 2, 0, batch=False)
+    dwq_ref[...] += _bdot(dq, x, 1, 0, batch=False, dt=dt)
+    dwk_ref[...] += _bdot(dk, y, 1, 0, batch=False, dt=dt)
+    dwv_ref[...] += _bdot(dv, y, 2, 0, batch=False, dt=dt)
     dbq_ref[...] += jnp.sum(dq, axis=1)[:, :, None]
     dbk_ref[...] += jnp.sum(dk, axis=1)[:, :, None]
     dbv_ref[...] += jnp.sum(dv, axis=2)[:, :, None]
@@ -730,11 +745,12 @@ def _ffb_fwd_common(x, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, b3_ref,
                     seed_ref, *, hdrop, eps):
     if hdrop > 0.0:
         pltpu.prng_seed(seed_ref[pl.program_id(0)])
+    dt = x.dtype
     x32 = x.astype(jnp.float32)
-    pre = _bdot(x32, w1_ref[...], 1, 0, batch=False) \
+    pre = _bdot(x, w1_ref[...], 1, 0, batch=False, dt=dt) \
         + b1_ref[...].astype(jnp.float32)               # [L, F]
     a = _gelu_erf(pre)
-    h = _bdot(a, w2_ref[...], 1, 0, batch=False) \
+    h = _bdot(a, w2_ref[...], 1, 0, batch=False, dt=dt) \
         + b2_ref[...].astype(jnp.float32)               # [L, D]
     keep = None
     if hdrop > 0.0:
@@ -779,15 +795,16 @@ def _ffb_bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, b3_ref,
     m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
     m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     dr = inv_sigma * (dxhat - m1 - xhat * m2)
+    dt = x.dtype
     dh = jnp.where(keep, dr * (1.0 / (1.0 - hdrop)), 0.0) \
         if keep is not None else dr
     db2_ref[...] += jnp.sum(dh, axis=0)[None, :]
-    dw2_ref[...] += _bdot(a, dh, 0, 0, batch=False)     # [F, D]
-    da = _bdot(dh, w2_ref[...], 1, 1, batch=False)      # [L, F]
+    dw2_ref[...] += _bdot(a, dh, 0, 0, batch=False, dt=dt)   # [F, D]
+    da = _bdot(dh, w2_ref[...], 1, 1, batch=False, dt=dt)    # [L, F]
     dpre = da * _gelu_erf_grad(pre)
     db1_ref[...] += jnp.sum(dpre, axis=0)[None, :]
-    dw1_ref[...] += _bdot(x.astype(jnp.float32), dpre, 0, 0, batch=False)
-    dx = _bdot(dpre, w1_ref[...], 1, 1, batch=False) + dr
+    dw1_ref[...] += _bdot(x, dpre, 0, 0, batch=False, dt=dt)
+    dx = _bdot(dpre, w1_ref[...], 1, 1, batch=False, dt=dt) + dr
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
