@@ -19,15 +19,18 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 import scripts.bench_train as BT
 
 
+CONFIGS = [(64, "2"), (64, "3"), (128, "1"), (128, "2")]
+
+
 def main():
-    for unroll in sys.argv[1:] or ["2", "3"]:
+    for B, unroll in CONFIGS:
         os.environ["GOAT_SCAN_UNROLL"] = unroll
-        print(f"=== unroll={unroll} ===", flush=True)
+        print(f"=== B={B} unroll={unroll} ===", flush=True)
         t0 = time.time()
         try:
-            BT.run(64, "dagger", "full", True, iters=8)
+            BT.run(B, "dagger", "full", True, iters=8)
         except Exception as e:
-            print(f"unroll={unroll} FAILED: {type(e).__name__}: "
+            print(f"B={B} unroll={unroll} FAILED: {type(e).__name__}: "
                   f"{str(e)[:300]}", flush=True)
         gc.collect()
         print(f"  [config wall {time.time()-t0:.0f}s]", flush=True)

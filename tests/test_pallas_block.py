@@ -157,3 +157,60 @@ def test_ffn_gradients_match_unfused():
     for k, x_, y_ in zip(keys, gf, gr):
         np.testing.assert_allclose(np.asarray(x_), np.asarray(y_),
                                    atol=3e-4, rtol=3e-4, err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# Row-blocked variants (rb > 1): the production grids fold several batch
+# rows into one block (GOAT_PALLAS_ATTN_RB / GOAT_PALLAS_FFN_RB); cross-row
+# attention is forbidden by a block-diagonal bias.  Exactness must hold for
+# any rb, including rb that doesn't divide B evenly (gcd fallback).
+
+
+def test_row_blocked_attention_matches(monkeypatch, args):
+    B4 = 4
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((B4, Lq, D)).astype(np.float32) * 0.3)
+    y = jnp.asarray(rng.standard_normal((B4, Lk, D)).astype(np.float32) * 0.3)
+    mask = rng.random((B4, 1, 1, Lk)) < 0.8
+    bias = jnp.where(jnp.asarray(mask), 0.0, -10000.0)
+    a = {**args, "x": x, "y": y, "bias": bias}
+
+    def fwd():
+        return pallas_fused_attn_block(
+            a["x"], a["y"], a["wq"], a["bq"], a["wk"], a["bk"], a["wv"],
+            a["bv"], a["wo"], a["bo"], a["gamma"], a["beta"], a["bias"],
+            num_heads=H, interpret=True)
+
+    monkeypatch.setenv("GOAT_PALLAS_ATTN_RB", "1")
+    ref = np.asarray(fwd())
+    monkeypatch.setenv("GOAT_PALLAS_ATTN_RB", "4")
+    out = np.asarray(fwd())
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+    # gradients through the blocked grid
+    def loss(x_, rbv):
+        monkeypatch.setenv("GOAT_PALLAS_ATTN_RB", rbv)
+        o = pallas_fused_attn_block(
+            x_, a["y"], a["wq"], a["bq"], a["wk"], a["bk"], a["wv"],
+            a["bv"], a["wo"], a["bo"], a["gamma"], a["beta"], a["bias"],
+            num_heads=H, interpret=True)
+        return jnp.sum(jnp.sin(o * 0.3))
+
+    g1 = jax.grad(loss)(x, "1")
+    g4 = jax.grad(loss)(x, "4")
+    np.testing.assert_allclose(np.asarray(g4), np.asarray(g1),
+                               atol=3e-4, rtol=3e-4)
+
+
+def test_row_blocked_ffn_matches(monkeypatch):
+    a = _ffn_args()
+    B8 = 8
+    rng = np.random.default_rng(9)
+    a["x"] = jnp.asarray(
+        rng.standard_normal((B8, Lq, D)).astype(np.float32) * 0.2)
+
+    monkeypatch.setenv("GOAT_PALLAS_FFN_RB", "1")
+    ref = np.asarray(_ffn_fused(a))
+    monkeypatch.setenv("GOAT_PALLAS_FFN_RB", "8")
+    out = np.asarray(_ffn_fused(a))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
