@@ -37,6 +37,12 @@ CONFIGS = [
 
 def main():
     for name, env in CONFIGS:
+        # reset all gates first — configs must not inherit the previous
+        # config's env (the first run of this script leaked
+        # GOAT_PALLAS_ATTN=0 into the attn-only config)
+        for k in ("GOAT_PALLAS", "GOAT_PALLAS_BLOCK", "GOAT_PALLAS_ATTN",
+                  "GOAT_PALLAS_FFN"):
+            os.environ[k] = "1" if k != "GOAT_PALLAS" else "0"
         for k, v in env.items():
             os.environ[k] = v
         print(f"=== {name} ===", flush=True)
