@@ -142,7 +142,8 @@ def test_train_step_dagger_fused(tiny):
     assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
 
 
-@pytest.mark.parametrize("remat", ["bounds", "ffn", "dots", "model"])
+@pytest.mark.parametrize("remat", ["bounds", "ffn", "dots", "model",
+                                   "probs", "wide"])
 def test_remat_policies_loss_identical(tiny, remat):
     """Every remat policy computes the same loss and gradients as
     remat='full' — policies change what is SAVED for the backward, never
@@ -167,3 +168,51 @@ def test_remat_policies_loss_identical(tiny, remat):
     v_pol, g_pol = loss_with(remat)
     np.testing.assert_allclose(v_pol, v_full, rtol=1e-6)
     np.testing.assert_allclose(g_pol, g_full, rtol=1e-5)
+
+
+def test_remat_probs_identical_under_dropout(tiny):
+    """remat='probs' saves the dropout keep masks instead of regenerating
+    them in the backward — with dropout ACTIVE the loss and gradients must
+    still be bit-compatible with remat='full' under the same rng (the
+    masks come from the same make_rng stream either way; the policy only
+    changes what is saved).  The module fixture has all dropout rates at
+    0.0, so build a dropout-enabled twin here."""
+    cfg = GoatConfig(num_l_layers=1, num_x_layers=1, num_pano_layers=1,
+                     hidden_size=32, num_attention_heads=2,
+                     intermediate_size=64, vocab_size=64,
+                     max_position_embeddings=64, image_feat_size=16,
+                     hidden_dropout_prob=0.1,
+                     attention_probs_dropout_prob=0.1, feat_dropout=0.0)
+    rcfg = RolloutConfig(num_nodes=12, horizon=6, feat_dim=16)
+    scans = [make_synthetic_scan("s0", num_vps=12, seed=0)]
+    world = NavWorld.build(scans, feat_dim=16, seed=0)
+    model = GoatModel(cfg)
+    params = init_goat_params(model, jax.random.PRNGKey(0), max_cands=16,
+                              num_nodes=rcfg.num_nodes)
+    ro = NavRollout(model, world, rcfg)
+    graphs = {g.scan_id: g for g in scans}
+    data = make_synthetic_dataset(graphs, 24, vocab_size=cfg.vocab_size,
+                                  path_len=(3, 5), seed=1)
+    batcher = EpisodeBatcher(data, graphs, ["s0"], batch_size=4,
+                             max_instr_len=24, max_gt_len=7)
+    _, b = batcher.next_batch()
+    rng = jax.random.PRNGKey(5)
+
+    def loss_with(remat):
+        fn = ro.build_rollout("teacher", train_ml=True, deterministic=False,
+                              remat=remat)
+
+        def loss(p):
+            return fn(p, b, rng)["ml_loss"]
+
+        val, grad = jax.value_and_grad(loss)(params)
+        gn = jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(x.astype(jnp.float64) ** 2)
+            if jnp.issubdtype(x.dtype, jnp.floating) else a,
+            grad, jnp.zeros((), jnp.float64))
+        return float(val), float(gn)
+
+    v_full, g_full = loss_with("full")
+    v_pr, g_pr = loss_with("probs")
+    np.testing.assert_allclose(v_pr, v_full, rtol=1e-6)
+    np.testing.assert_allclose(g_pr, g_full, rtol=1e-5)

@@ -139,8 +139,11 @@ def parse_args(argv=None):
     p.add_argument("--train_alg", default="dagger",
                    choices=["imitation", "dagger", "dagger_fused"])
     p.add_argument("--remat", default="full",
-                   choices=["full", "dots", "ffn", "bounds", "none", "model"],
-                   help="rollout rematerialization policy for training")
+                   choices=["full", "dots", "ffn", "bounds", "none", "model",
+                            "probs", "wide"],
+                   help="rollout rematerialization policy for training "
+                        "(probs: save attention softmax outputs + dropout "
+                        "masks, skip their backward recompute)")
     # rbg: ~10x cheaper than threefry on TPU for per-step dropout masks
     # (+41%% train throughput measured); same Bernoulli distributions,
     # different draws — randomness parity is a documented divergence

@@ -38,6 +38,27 @@ def _dense(features, name, dtype):
     return nn.Dense(features, name=name, dtype=dtype)
 
 
+def named_dropout(mod: nn.Module, x, rate: float, deterministic: bool,
+                  name: str = "drop_mask"):
+    """nn.Dropout-equivalent (bernoulli keep mask, x/keep scaling) whose
+    mask tensor carries a checkpoint name, so the remat policy 'probs'
+    (rollout.build_rollout) can SAVE the masks instead of regenerating
+    them in the backward — the per-step PRNG mask generation is re-run
+    under full remat and measured at ~7% of the DAgger step.
+
+    Draw-stream note: the mask comes from `mod.make_rng('dropout')` at the
+    caller's module path (nn.Dropout folds in its own child path), so the
+    draws differ from nn.Dropout while the distribution is identical —
+    same class of documented randomness divergence as the rbg PRNG
+    default.  Deterministic mode is bit-identical (no mask at all)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(mod.make_rng("dropout"), keep, x.shape)
+    mask = _ckpt_name(mask, name)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
 class _ProjWeights(nn.Module):
     """nn.Dense-compatible projection (same param tree <name>/{kernel,bias}
     and init) that can also hand out its raw weights, so the fused Pallas
@@ -141,7 +162,10 @@ class AttentionCore(nn.Module):
         sm_dtype = jnp.bfloat16 if os.environ.get("GOAT_BF16_SOFTMAX") \
             else jnp.float32
         probs = jax.nn.softmax(scores.astype(sm_dtype), axis=-1).astype(self.dtype)
-        probs = nn.Dropout(self.dropout_rate)(probs, deterministic=deterministic)
+        # named so remat='probs' can save the softmax output (skips the
+        # exp/normalize recompute in the backward) and the dropout mask
+        probs = _ckpt_name(probs, "attn_probs")
+        probs = named_dropout(self, probs, self.dropout_rate, deterministic)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         return ctx.reshape(B, Lq, d)
 
@@ -183,7 +207,7 @@ class BertSelfOutput(nn.Module):
             gamma, beta = ln(hidden, weights_only=True)
             return wo, bo, gamma, beta
         h = dense(hidden)
-        h = nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
+        h = named_dropout(self, h, c.hidden_dropout_prob, deterministic)
         h = ln(h + residual)
         # layer-boundary tensor: the only thing remat='bounds' saves
         return _ckpt_name(h, "blk")
@@ -297,7 +321,7 @@ class BertOutput(nn.Module):
             gamma, beta = ln(residual, weights_only=True)
             return w2, b2, gamma, beta
         h = dense(hidden)
-        h = nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
+        h = named_dropout(self, h, c.hidden_dropout_prob, deterministic)
         h = ln(h + residual)
         # layer-boundary tensor: the only thing remat='bounds' saves
         return _ckpt_name(h, "blk")
@@ -542,7 +566,8 @@ class TorchMultiheadAttention(nn.Module):
             neg = jnp.finfo(jnp.float32).min
             scores = jnp.where(key_padding_mask[:, None, None, :], neg, scores)
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
-        probs = nn.Dropout(self.dropout_rate)(probs, deterministic=deterministic)
+        probs = _ckpt_name(probs, "attn_probs")
+        probs = named_dropout(self, probs, self.dropout_rate, deterministic)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, Lq, d)
         return _dense(d, "out_proj", self.dtype)(ctx)
 
@@ -565,16 +590,18 @@ class PanoEncoderLayer(nn.Module):
             c.num_attention_heads, c.head_dim, c.hidden_dropout_prob,
             self.dtype, name="self_attn",
         )(h, h, h, key_padding_mask, deterministic)
-        src = src + nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
+        src = src + named_dropout(self, h, c.hidden_dropout_prob,
+                                  deterministic)
         h = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=self.dtype)(src)
         h = _dense(c.intermediate_size, "linear1", self.dtype)(h)
         h = _ckpt_name(h, "ffn_wide")
         h = _ckpt_name(ACT2FN[c.hidden_act](h),
                                               "ffn_wide")
-        h = nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
+        h = named_dropout(self, h, c.hidden_dropout_prob, deterministic)
         h = _ckpt_name(h, "ffn_wide")
         h = _dense(c.hidden_size, "linear2", self.dtype)(h)
-        src = src + nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
+        src = src + named_dropout(self, h, c.hidden_dropout_prob,
+                                  deterministic)
         return src
 
 

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import GoatConfig
-from .layers import BertAttention, PanoEncoder, _dense
+from .layers import BertAttention, PanoEncoder, _dense, named_dropout
 
 Dtype = Any
 
@@ -104,7 +104,8 @@ class CausalImageEmbeddings(nn.Module):
         if not c.is_objnav:
             if per_step:
                 view = view + loc
-            view = nn.Dropout(c.hidden_dropout_prob)(view, deterministic=deterministic)
+            view = named_dropout(self, view, c.hidden_dropout_prob,
+                                 deterministic)
             view = PanoEncoder(c, c.num_pano_layers, self.dtype,
                                name="img_self_encoder")(
                 view, key_padding_mask=jnp.logical_not(view_masks),
@@ -132,8 +133,8 @@ class CausalImageEmbeddings(nn.Module):
                 # goes straight to dropout)
                 embeds = nn.LayerNorm(epsilon=1e-12, name="layer_norm",
                                       dtype=self.dtype)(embeds)
-            embeds = nn.Dropout(c.hidden_dropout_prob)(embeds,
-                                                       deterministic=deterministic)
+            embeds = named_dropout(self, embeds, c.hidden_dropout_prob,
+                                   deterministic)
             embeds = PanoEncoder(c, c.num_pano_layers, self.dtype,
                                  name="pano_encoder")(
                 embeds, key_padding_mask=jnp.logical_not(masks),

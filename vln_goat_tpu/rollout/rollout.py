@@ -1058,6 +1058,26 @@ class NavRollout:
                     step_fn = jax.checkpoint(
                         step, policy=jax.checkpoint_policies
                         .save_only_these_names("blk"))
+                elif remat == "probs":
+                    # 'bounds' + the attention-softmax outputs and the
+                    # dropout keep masks (models/layers.named_dropout):
+                    # the backward then skips the exp/normalize recompute
+                    # and the PRNG mask regeneration — the two largest
+                    # pure-VPU costs of the full-remat backward — while
+                    # the wide FFN tensors are still recomputed
+                    step_fn = jax.checkpoint(
+                        step, policy=jax.checkpoint_policies
+                        .save_only_these_names("blk", "attn_probs",
+                                               "drop_mask"))
+                elif remat == "wide":
+                    # 'probs' + the 4x-wide FFN tensors ("ffn_wide": the
+                    # pre-activation and the erf-gelu output) — the bwd
+                    # skips the erf/exp recompute on the widest tensors
+                    # in the model at ~2GB more saved activations
+                    step_fn = jax.checkpoint(
+                        step, policy=jax.checkpoint_policies
+                        .save_only_these_names("blk", "attn_probs",
+                                               "drop_mask", "ffn_wide"))
                 elif remat in ("none", "model"):
                     # 'model': per-call checkpoints already applied inside
                     # `apply`; the step itself is NOT rematerialized, so all
@@ -1232,7 +1252,18 @@ class NavRollout:
                                    rngs={"dropout": rng}, **kw2)
 
             if ckpt and model_ckpt:
-                call = jax.checkpoint(call)
+                if remat == "probs":
+                    call = jax.checkpoint(
+                        call, policy=jax.checkpoint_policies
+                        .save_only_these_names("blk", "attn_probs",
+                                               "drop_mask"))
+                elif remat == "wide":
+                    call = jax.checkpoint(
+                        call, policy=jax.checkpoint_policies
+                        .save_only_these_names("blk", "attn_probs",
+                                               "drop_mask", "ffn_wide"))
+                else:
+                    call = jax.checkpoint(call)
             return call(params, rng, args, arr_kw)
 
         T = r.horizon
