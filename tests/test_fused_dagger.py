@@ -216,3 +216,26 @@ def test_remat_probs_identical_under_dropout(tiny):
     v_pr, g_pr = loss_with("probs")
     np.testing.assert_allclose(v_pr, v_full, rtol=1e-6)
     np.testing.assert_allclose(g_pr, g_full, rtol=1e-5)
+
+
+@pytest.mark.parametrize("remat", ["probs", "wide"])
+def test_train_step_probs_policy_matches_full(tiny, remat):
+    """The full DAgger train step under remat='probs'/'wide' (which also
+    routes through build_teacher_rollout_vec's per-call checkpoint policy)
+    produces the same loss as remat='full'."""
+    ro, params, batcher = tiny["ro"], tiny["params"], tiny["batcher"]
+    tx = make_optimizer(lr=1e-4)
+    _, b = batcher.next_batch()
+    rng = jax.random.PRNGKey(2)
+
+    def run(remat):
+        step = jax.jit(make_train_step(ro, tx, train_alg="dagger",
+                                       ml_weight=0.2, remat=remat))
+        state = init_train_state(params, tx)
+        _, m = step(state, b, rng)
+        return float(m["loss"]), float(m["grad_norm"])
+
+    l_full, g_full = run("full")
+    l_pol, g_pol = run(remat)
+    np.testing.assert_allclose(l_pol, l_full, rtol=1e-6)
+    np.testing.assert_allclose(g_pol, g_full, rtol=1e-5)
