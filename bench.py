@@ -220,7 +220,26 @@ def main():
         "note": "val_unseen-like shapes: 200-token instructions, gt 5-10 "
                 "(the headline line uses synthetic-average 60-token/4-7)",
     }), flush=True)
+    # headline: best of the known-good 'full' remat and the round-3
+    # 'probs' policy (saved softmax outputs + dropout masks — skips their
+    # backward recompute; loss/grad-identical, tests/test_fused_dagger.py).
+    # 'probs' is guarded: it could not be A/B'd on-chip in-session (TPU
+    # tunnel outage), so an OOM/compile failure falls back cleanly.
+    base_policy = os.environ.get("GOAT_BENCH_REMAT", "full")
     train, util = bench_train()
+    policy = base_policy
+    if base_policy != "probs":
+        try:
+            os.environ["GOAT_BENCH_REMAT"] = "probs"
+            t2, u2 = bench_train()
+            if t2 > train:
+                train, util, policy = t2, u2, "probs"
+        except Exception as e:  # noqa: BLE001 — OOM/compile -> base policy
+            print(json.dumps({"note": "remat=probs bench failed",
+                              "error": f"{type(e).__name__}: "
+                                       f"{str(e)[:160]}"}), flush=True)
+        finally:
+            os.environ["GOAT_BENCH_REMAT"] = base_policy
     line = {
         "metric": "r2r_dagger_finetune_episodes_per_sec_per_chip",
         "value": round(train, 2),
@@ -228,6 +247,7 @@ def main():
         "vs_baseline": round(train / REF_TRAIN_EPS, 2),
         "decode_eps_per_sec": round(decode, 2),
         "decode_vs_baseline": round(decode / REF_DECODE_EPS, 2),
+        "remat_policy": policy,
     }
     if util is not None:
         # XLA cost_analysis flops / step time / v5e bf16 peak; the step is
