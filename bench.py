@@ -91,6 +91,11 @@ def bench_decode(B=None):
         _, batch = batcher.next_batch()
         out = fn(params, batch, jax.random.fold_in(rng, i))
     jax.block_until_ready(out)
+    # time through a device->host scalar fetch: cannot complete before the
+    # chained steps have executed, even if a tunneled backend's
+    # block_until_ready returned early
+    float(out["ml_loss"]) if "ml_loss" in out else \
+        int(jax.device_get(out["final_cur"])[0])
     dt = time.perf_counter() - t0
     return B * iters / dt
 
@@ -136,6 +141,7 @@ def bench_train(B=None, real_shapes=False):
     for i in range(iters):
         state, m = step(state, nb(), jax.random.fold_in(rng, i))
     jax.block_until_ready(m["loss"])
+    float(m["loss"])  # fetch guard: see bench_decode
     dt = (time.perf_counter() - t0) / iters
     # hardware FLOP utilization vs the v5e bf16 peak (197 TFLOP/s), from
     # the compiled executable's own flop count (includes remat recompute —

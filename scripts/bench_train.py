@@ -83,10 +83,16 @@ def run(B, alg, remat, bf16, iters=8):
         state, m = step(state, batch, jax.random.fold_in(rng, i))
     jax.block_until_ready(m["loss"])
     dt = (time.perf_counter() - t0) / iters
+    # paranoia vs tunneled backends: a device->host scalar fetch cannot
+    # return before every chained step has executed, so dt_fetch is a
+    # trustworthy upper bound even if block_until_ready were a no-op
+    loss = float(m["loss"])
+    dt_fetch = (time.perf_counter() - t0) / iters
     eps = B / dt
     print(f"alg={alg:13s} B={B:4d} remat={remat:5s} bf16={int(bf16)} "
           f"step={dt*1e3:8.1f} ms  eps/s={eps:8.1f}  "
-          f"(compile {compile_s:.0f}s, loss {float(m['loss']):.3f})",
+          f"(fetch-incl {dt_fetch*1e3:.1f} ms, compile {compile_s:.0f}s, "
+          f"loss {loss:.3f})",
           flush=True)
     return eps
 
