@@ -119,6 +119,69 @@ def _scan_unroll() -> int:
     return int(os.environ.get("GOAT_SCAN_UNROLL", "1"))
 
 
+def _use_onehot() -> bool:
+    """One-hot (compare + contraction) replacements for the episodic
+    bookkeeping's scalar-granular gathers/scatters (GOAT_ONEHOT, default 1).
+
+    The round-2 device profile attributed ~265k async copy ops per DAgger
+    iteration to these sites: every `table.at[b_idx, idx].set/add` with
+    per-element indices lowers to one tiny (4-byte) DMA per index on TPU —
+    ~12k serialized copies per `_arrive` alone at B=64 — and the full-remat
+    backward re-runs all of them.  Rewriting each as a broadcast-compare
+    mask plus an einsum/`where` turns the update into one vectorized
+    VPU/MXU op over the table.  Selection through a 0/1 f32 one-hot is
+    EXACT (each output element is one value plus zeros; int payloads stay
+    below 2^24), so losses/paths are bit-identical — verified against the
+    scatter path by tests/test_onehot_parity.py.  Sites whose source can
+    hold ±inf (stop_prob, log-probs) use masked `where`, never multiply."""
+    return os.environ.get("GOAT_ONEHOT", "1") == "1"
+
+
+def _oh_eq(idx, n):
+    """Boolean one-hot [..., n] via broadcast compare (no gather at all).
+    Out-of-range indices (e.g. -1 pads) produce an all-zero row."""
+    return idx[..., None] == jnp.arange(n, dtype=jnp.int32)
+
+
+def _ohf(idx, n):
+    return _oh_eq(idx, n).astype(jnp.float32)
+
+
+def _pick1(x, idx):
+    """x[bidx, idx] for x [B, N, *rest], idx [B] -> [B, *rest] (exact)."""
+    oh = _ohf(idx, x.shape[1])
+    out = jnp.einsum("bn,bn...->b...", oh, x.astype(jnp.float32))
+    return out.astype(x.dtype)
+
+
+def _pickk(x, idx):
+    """x[bidx[:,None], idx] for x [B, N], idx [B, K] -> [B, K] (exact)."""
+    oh = _ohf(idx, x.shape[1])
+    return jnp.einsum("bkn,bn->bk", oh, x.astype(jnp.float32)).astype(x.dtype)
+
+
+def _pick_col(x, idx):
+    """x[bidx, :, idx] for x [B, M, N], idx [B] -> [B, M] (exact)."""
+    oh = _ohf(idx, x.shape[2])
+    return jnp.einsum("bn,bmn->bm", oh, x.astype(jnp.float32)).astype(x.dtype)
+
+
+def _set1(x, idx, val, act=None):
+    """Masked-set x[bidx, idx] = val (where act) for x [B, N, *rest];
+    val [B, *rest].  `where`-form: safe for ±inf payloads, grads flow
+    through `val` only at the written positions (scatter-set parity)."""
+    m = _oh_eq(idx, x.shape[1])
+    if act is not None:
+        m = m & act[:, None]
+    extra = x.ndim - 2
+    if extra:
+        m = m.reshape(m.shape + (1,) * extra)
+        val = jnp.expand_dims(val, 1)
+    else:
+        val = val[:, None]
+    return jnp.where(m, val, x)
+
+
 # 36x36 table: angle features of view v relative to base view b
 _PANO_ANG = None
 
@@ -196,6 +259,17 @@ class NavRollout:
         """dist(vp, gt_j) rows for DTW: vp [...] local ids -> [..., Tg]."""
         gt = jnp.maximum(batch["gt_path"], 0)              # [B, Tg]
         scan = batch["scan_idx"]
+        if _use_onehot():
+            # [B,Tg]/[B,N,Tg] scalar-granular gathers -> contractions over
+            # per-scan distance rows (see _use_onehot); vp >= 0 here
+            V = self.world.dist.shape[1]
+            oh_g = _ohf(gt, V)                             # [B, Tg, V]
+            if vp.ndim == 1:
+                row = self.world.dist[scan, vp]            # [B, V]
+                return jnp.einsum("btv,bv->bt", oh_g, row)
+            rows = jnp.einsum("bnv,bvw->bnw", _ohf(vp % V, V),
+                              self.world.dist[scan])
+            return jnp.einsum("bnw,btw->bnt", rows, oh_g)  # [B, N, Tg]
         if vp.ndim == 1:                                   # [B]
             return self.world.dist[scan[:, None], vp[:, None], gt]
         return self.world.dist[scan[:, None, None], vp[..., None],
@@ -218,7 +292,9 @@ class NavRollout:
         scan = batch["scan_idx"]
 
         act = ~skip
-        arr_vp = st["node_vp"][bidx, arr]
+        onehot = _use_onehot()
+        arr_vp = _pick1(st["node_vp"], arr) if onehot \
+            else st["node_vp"][bidx, arr]
         cands = w.get_cands(scan, arr_vp)            # each [B, K]
         cmask = cands["mask"] & act[:, None]
 
@@ -308,39 +384,89 @@ class NavRollout:
                                        cidx, need, edist, ehops, enext)
 
         write = cmask & (cidx != TRASH)
-        node_vp = st["node_vp"].at[bidx[:, None], cidx].set(
-            jnp.where(write, cands["local"], st["node_vp"][bidx[:, None], cidx]))
         n_nodes = st["n_nodes"] + jnp.sum(isnew & ~overflow, axis=1)
-
-        # --- add edges arr<->cand (FloydGraph.add_edge: keep if shorter)
         d_k = cands["dist"]
-        old = edist[bidx[:, None], arr[:, None], cidx]
-        upd = write & (d_k < old)
-        nd = jnp.where(upd, d_k, old)
-        nh = jnp.where(upd, 1.0, ehops[bidx[:, None], arr[:, None], cidx])
-        nn_fwd = jnp.where(upd, cidx, enext[bidx[:, None], arr[:, None], cidx])
-        nn_bwd = jnp.where(upd, arr[:, None],
-                           enext[bidx[:, None], cidx, arr[:, None]])
-        edist = edist.at[bidx[:, None], arr[:, None], cidx].set(nd)
-        edist = edist.at[bidx[:, None], cidx, arr[:, None]].set(nd)
-        ehops = ehops.at[bidx[:, None], arr[:, None], cidx].set(nh)
-        ehops = ehops.at[bidx[:, None], cidx, arr[:, None]].set(nh)
-        enext = enext.at[bidx[:, None], arr[:, None], cidx].set(nn_fwd)
-        enext = enext.at[bidx[:, None], cidx, arr[:, None]].set(nn_bwd)
+        if onehot:
+            # one broadcast-compare mask + einsum per update instead of
+            # [B,K] scalar-granular scatter/gather DMAs (see _use_onehot)
+            oh_arr = _oh_eq(arr, N1)                     # [B, N1] bool
+            oh_c = _ohf(cidx, N1)                        # [B, K, N1] f32
+            wf = write.astype(jnp.float32)
+            hitw = jnp.einsum("bkn,bk->bn", oh_c, wf) > 0
+            vp_new = jnp.einsum(
+                "bkn,bk->bn", oh_c, cands["local"].astype(jnp.float32) * wf)
+            node_vp = jnp.where(hitw, vp_new.astype(jnp.int32),
+                                st["node_vp"])
 
-        # --- one Floyd–Warshall relax through arr (FloydGraph.update)
-        dxc = edist[bidx, :, arr]        # [B, N1] x -> arr
-        dcy = edist[bidx, arr, :]        # [B, N1] arr -> y
-        cand_d = dxc[:, :, None] + dcy[:, None, :]
-        better = (cand_d < edist) & act[:, None, None]
-        hxc, hcy = ehops[bidx, :, arr], ehops[bidx, arr, :]
-        nxc = enext[bidx, :, arr]
-        edist = jnp.where(better, cand_d, edist)
-        ehops = jnp.where(better, hxc[:, :, None] + hcy[:, None, :], ehops)
-        enext = jnp.where(better, jnp.broadcast_to(nxc[:, :, None], enext.shape),
-                          enext)
+            # --- add edges arr<->cand (FloydGraph.add_edge: keep if
+            # shorter).  `set` semantics as masked `where`: positions with
+            # no improving candidate keep their old value (the scatter
+            # wrote the old value back there — identical result).
+            row_d = _pick1(edist, arr)                   # edist[b, arr, :]
+            old = jnp.einsum("bkn,bn->bk", oh_c, row_d)
+            upd = write & (d_k < old)
+            updf = upd.astype(jnp.float32)
+            m_row = jnp.einsum("bkn,bk->bn", oh_c, updf) > 0    # [B, N1]
+            val_row = jnp.einsum("bkn,bk->bn", oh_c, d_k * updf)
+            upd3 = oh_arr[:, :, None] & m_row[:, None, :]       # (arr, j)
+            upd3t = m_row[:, :, None] & oh_arr[:, None, :]      # (j, arr)
+            edist = jnp.where(upd3, val_row[:, None, :], edist)
+            edist = jnp.where(upd3t, val_row[:, :, None], edist)
+            ehops = jnp.where(upd3 | upd3t, 1.0, ehops)
+            jidx = jnp.arange(N1, dtype=jnp.int32)
+            enext = jnp.where(upd3, jidx[None, None, :], enext)
+            enext = jnp.where(upd3t, arr[:, None, None], enext)
 
-        visited = st["visited"].at[bidx, arr].set(st["visited"][bidx, arr] | act)
+            # --- one Floyd–Warshall relax through arr (FloydGraph.update)
+            dxc = _pick_col(edist, arr)      # [B, N1] x -> arr
+            dcy = _pick1(edist, arr)         # [B, N1] arr -> y
+            cand_d = dxc[:, :, None] + dcy[:, None, :]
+            better = (cand_d < edist) & act[:, None, None]
+            hxc, hcy = _pick_col(ehops, arr), _pick1(ehops, arr)
+            nxc = _pick_col(enext, arr)
+            edist = jnp.where(better, cand_d, edist)
+            ehops = jnp.where(better, hxc[:, :, None] + hcy[:, None, :],
+                              ehops)
+            enext = jnp.where(better,
+                              jnp.broadcast_to(nxc[:, :, None], enext.shape),
+                              enext)
+            visited = st["visited"] | (oh_arr & act[:, None])
+        else:
+            node_vp = st["node_vp"].at[bidx[:, None], cidx].set(
+                jnp.where(write, cands["local"],
+                          st["node_vp"][bidx[:, None], cidx]))
+
+            # --- add edges arr<->cand (FloydGraph.add_edge: keep if shorter)
+            old = edist[bidx[:, None], arr[:, None], cidx]
+            upd = write & (d_k < old)
+            nd = jnp.where(upd, d_k, old)
+            nh = jnp.where(upd, 1.0, ehops[bidx[:, None], arr[:, None], cidx])
+            nn_fwd = jnp.where(upd, cidx,
+                               enext[bidx[:, None], arr[:, None], cidx])
+            nn_bwd = jnp.where(upd, arr[:, None],
+                               enext[bidx[:, None], cidx, arr[:, None]])
+            edist = edist.at[bidx[:, None], arr[:, None], cidx].set(nd)
+            edist = edist.at[bidx[:, None], cidx, arr[:, None]].set(nd)
+            ehops = ehops.at[bidx[:, None], arr[:, None], cidx].set(nh)
+            ehops = ehops.at[bidx[:, None], cidx, arr[:, None]].set(nh)
+            enext = enext.at[bidx[:, None], arr[:, None], cidx].set(nn_fwd)
+            enext = enext.at[bidx[:, None], cidx, arr[:, None]].set(nn_bwd)
+
+            # --- one Floyd–Warshall relax through arr (FloydGraph.update)
+            dxc = edist[bidx, :, arr]        # [B, N1] x -> arr
+            dcy = edist[bidx, arr, :]        # [B, N1] arr -> y
+            cand_d = dxc[:, :, None] + dcy[:, None, :]
+            better = (cand_d < edist) & act[:, None, None]
+            hxc, hcy = ehops[bidx, :, arr], ehops[bidx, arr, :]
+            nxc = enext[bidx, :, arr]
+            edist = jnp.where(better, cand_d, edist)
+            ehops = jnp.where(better, hxc[:, :, None] + hcy[:, None, :],
+                              ehops)
+            enext = jnp.where(better,
+                              jnp.broadcast_to(nxc[:, :, None], enext.shape),
+                              enext)
+            visited = st["visited"].at[bidx, arr].set(
+                st["visited"][bidx, arr] | act)
         out = {**st, "node_vp": node_vp,
                "n_nodes": jnp.where(act, n_nodes, st["n_nodes"]),
                "visited": visited, "edist": edist, "ehops": ehops,
@@ -425,8 +551,11 @@ class NavRollout:
         if scan is None:
             scan = batch["scan_idx"]
         if cur_vp is None:
-            bq = jnp.arange(st["cur"].shape[0])
-            cur_vp = st["node_vp"][bq, st["cur"]]
+            if _use_onehot():
+                cur_vp = _pick1(st["node_vp"], st["cur"])
+            else:
+                bq = jnp.arange(st["cur"].shape[0])
+                cur_vp = st["node_vp"][bq, st["cur"]]
         if view_ix is None:
             view_ix = st["view_ix"]
         if use_aug is None:
@@ -440,12 +569,22 @@ class NavRollout:
         cam_h = G.VIEW_HEADINGS[0] + (vi % 12).astype(jnp.float32) * (jnp.pi / 6)
         cam_e = ((vi // 12).astype(jnp.float32) - 1.0) * (jnp.pi / 6)
 
-        cand_img = jnp.take_along_axis(feats, cands["ptid"][:, :, None], axis=1)
+        onehot = _use_onehot()
+        if onehot:
+            # [B,K] row-gathers -> one MXU contraction (see _use_onehot)
+            cand_img = jnp.einsum("bkv,bvd->bkd", _ohf(cands["ptid"], 36),
+                                  feats.astype(jnp.float32)
+                                  ).astype(feats.dtype)
+        else:
+            cand_img = jnp.take_along_axis(feats, cands["ptid"][:, :, None],
+                                           axis=1)
         cand_ang = G.angle_feature_jnp(cands["heading"] - cam_h[:, None],
                                        cands["elev"] - cam_e[:, None],
                                        r.angle_feat_size)
         view_img = feats                                  # [B, 36, Df]
-        view_ang = pano_angle_table(r.angle_feat_size)[vi]  # [B, 36, A]
+        ang_tab = pano_angle_table(r.angle_feat_size)     # [36, 36, A]
+        view_ang = jnp.einsum("bv,vwa->bwa", _ohf(vi, 36), ang_tab) \
+            if onehot else ang_tab[vi]                    # [B, 36, A]
 
         img = jnp.concatenate([cand_img, view_img], axis=1).astype(jnp.float32)
         ang = jnp.concatenate([cand_ang, view_ang], axis=1)
@@ -454,8 +593,13 @@ class NavRollout:
 
         # mask out the views claimed by candidates (used_viewidxs,
         # agent.py:99-119); pad slots scatter 0 via add (set would race)
-        used = jnp.zeros((B, 36), jnp.int32).at[bidx[:, None], cands["ptid"]].add(
-            cands["mask"].astype(jnp.int32)) > 0
+        if onehot:
+            used = jnp.einsum("bkv,bk->bv", _ohf(cands["ptid"], 36),
+                              cands["mask"].astype(jnp.float32)) > 0
+        else:
+            used = jnp.zeros((B, 36), jnp.int32).at[
+                bidx[:, None], cands["ptid"]].add(
+                cands["mask"].astype(jnp.int32)) > 0
         view_mask = jnp.concatenate([cands["mask"], ~used], axis=1)
         nav_types = jnp.concatenate(
             [cands["mask"].astype(jnp.int32),
@@ -517,10 +661,22 @@ class NavRollout:
                 N, D)
 
         # positions & episodic metrics relative to the current node
-        npos = w.pos[scan[:, None], node_vp]             # [B, N, 3]
+        onehot = _use_onehot()
+        if onehot:
+            # per-scan position rows once (64 contiguous DMAs), then
+            # one-hot contractions instead of [B,N]/[B,K] 12-byte gathers.
+            # `% V` replicates fancy-indexing wrap for -1 pad slots.
+            V = w.pos.shape[1]
+            pos_scan = w.pos[scan]                       # [B, V, 3]
+            npos = jnp.einsum("bnv,bvc->bnc", _ohf(node_vp % V, V), pos_scan)
+            ed_row = _pick1(st["edist"], cur)            # [B, N1]
+            eh_row = _pick1(st["ehops"], cur)
+            ed_cur, eh_cur = ed_row[:, :N], eh_row[:, :N]
+        else:
+            npos = w.pos[scan[:, None], node_vp]         # [B, N, 3]
+            ed_cur = st["edist"][bidx, cur, :N]
+            eh_cur = st["ehops"][bidx, cur, :N]
         cpos = w.pos[scan, cur_vp][:, None, :]
-        ed_cur = st["edist"][bidx, cur, :N]
-        eh_cur = st["ehops"][bidx, cur, :N]
         cam_h, cam_e = pano["cam_h"], pano["cam_e"]
         node_pos_fts = G.pos_features_jnp(
             cpos, npos, cam_h[:, None], cam_e[:, None], ed_cur, eh_cur,
@@ -567,13 +723,23 @@ class NavRollout:
 
         # vp_pos_fts: [:, :7] start-node relative, [2:2+K, 7:] candidates
         start_pos = w.pos[scan, batch["start_vp"]]
-        sd = st["edist"][bidx, cur, 0]
-        sh = st["ehops"][bidx, cur, 0]
+        if onehot:
+            sd, sh = ed_row[:, 0], eh_row[:, 0]
+        else:
+            sd = st["edist"][bidx, cur, 0]
+            sh = st["ehops"][bidx, cur, 0]
         start_ft = G.pos_features_jnp(w.pos[scan, cur_vp], start_pos, cam_h,
                                       cam_e, sd, sh, r.angle_feat_size)
-        cand_pos = w.pos[scan[:, None], cands["local"]]
-        cd = st["edist"][bidx[:, None], cur[:, None], cnode]
-        ch = st["ehops"][bidx[:, None], cur[:, None], cnode]
+        if onehot:
+            cand_pos = jnp.einsum("bkv,bvc->bkc",
+                                  _ohf(cands["local"] % V, V), pos_scan)
+            oh_cn = _ohf(cnode, N1)
+            cd = jnp.einsum("bkn,bn->bk", oh_cn, ed_row)
+            ch = jnp.einsum("bkn,bn->bk", oh_cn, eh_row)
+        else:
+            cand_pos = w.pos[scan[:, None], cands["local"]]
+            cd = st["edist"][bidx[:, None], cur[:, None], cnode]
+            ch = st["ehops"][bidx[:, None], cur[:, None], cnode]
         cand_ft = G.pos_features_jnp(
             w.pos[scan, cur_vp][:, None], cand_pos, cam_h[:, None],
             cam_e[:, None], cd, ch, r.angle_feat_size)
@@ -625,13 +791,17 @@ class NavRollout:
         B = st["cur"].shape[0]
         bidx = jnp.arange(B)
         scan = batch["scan_idx"]
-        cur_vp = st["node_vp"][bidx, st["cur"]]
-        goal = batch["gt_path"][bidx, batch["gt_len"] - 1]
+        onehot = _use_onehot()
+        cur_vp = _pick1(st["node_vp"], st["cur"]) if onehot \
+            else st["node_vp"][bidx, st["cur"]]
+        goal = _pick1(batch["gt_path"], batch["gt_len"] - 1) if onehot \
+            else batch["gt_path"][bidx, batch["gt_len"] - 1]
 
         if imitation:
             is_last = t >= batch["gt_len"] - 1
-            nxt = batch["gt_path"][bidx, jnp.minimum(t + 1,
-                                                     batch["gt_len"] - 1)]
+            nxt_i = jnp.minimum(t + 1, batch["gt_len"] - 1)
+            nxt = _pick1(batch["gt_path"], nxt_i) if onehot \
+                else batch["gt_path"][bidx, nxt_i]
             match = (aux["node_vp"] == nxt[:, None]) & aux["real"]
             slot = jnp.argmax(match, axis=1).astype(jnp.int32) + 2
             found = match.any(1)
@@ -642,13 +812,29 @@ class NavRollout:
             # it against the gt path; pick the best nDTW.
             node_vp = aux["node_vp"]                     # [B, N]
             B, N = node_vp.shape
-            hops = w.hops[scan[:, None], cur_vp[:, None], node_vp]
+            if onehot:
+                V = w.hops.shape[1]
+                oh_n = _ohf(node_vp % V, V)              # [B, N, V]
+                hops = jnp.einsum("bnv,bv->bn", oh_n,
+                                  w.hops[scan, cur_vp].astype(jnp.float32)
+                                  ).astype(w.hops.dtype)
+                # next-hop columns toward each node, hoisted out of the
+                # loop: col_n[b, w, n] = nexthop[b, w, node_vp[b, n]]
+                col_n = jnp.einsum("bnv,bwv->bwn", oh_n,
+                                   w.nexthop[scan].astype(jnp.float32))
+            else:
+                hops = w.hops[scan[:, None], cur_vp[:, None], node_vp]
             row = jnp.broadcast_to(st["dtw_row"][:, None, :],
                                    (B, N, st["dtw_row"].shape[-1]))
 
             def body(k, carry):
                 row, p = carry
-                nxt = w.nexthop[scan[:, None], p, node_vp]
+                if onehot:
+                    oh_p = _ohf(p % V, V)                # [B, N, V]
+                    nxt = jnp.einsum("bnw,bwn->bn", oh_p,
+                                     col_n).astype(jnp.int32)
+                else:
+                    nxt = w.nexthop[scan[:, None], p, node_vp]
                 nxt = jnp.where(nxt < 0, p, nxt)
                 cost = self._gt_cost(batch, nxt)
                 row = dtw_extend_row(row, cost, valid=(k < hops))
@@ -670,8 +856,16 @@ class NavRollout:
             # SPL expert: nearest-to-goal unvisited node by
             # dist(cur->node)+dist(node->goal) over the full scan graph
             node_vp = aux["node_vp"]
-            d_goal = w.dist[scan[:, None], node_vp, goal[:, None]]
-            d_cur = w.dist[scan[:, None], cur_vp[:, None], node_vp]
+            if onehot:
+                V = w.dist.shape[1]
+                oh_n = _ohf(node_vp % V, V)              # [B, N, V]
+                col_g = _pick_col(w.dist[scan], goal)    # dist[b, :, goal]
+                row_c = w.dist[scan, cur_vp]             # [B, V]
+                d_goal = jnp.einsum("bnv,bv->bn", oh_n, col_g)
+                d_cur = jnp.einsum("bnv,bv->bn", oh_n, row_c)
+            else:
+                d_goal = w.dist[scan[:, None], node_vp, goal[:, None]]
+                d_cur = w.dist[scan[:, None], cur_vp[:, None], node_vp]
             cost = d_goal + d_cur
             cand = aux["real"] & ~aux["visited"]
             cost = jnp.where(cand, cost, jnp.inf)
@@ -687,14 +881,28 @@ class NavRollout:
         """Follow episodic next-hop pointers cur -> tgt (FloydGraph.path)."""
         B = st["cur"].shape[0]
         bidx = jnp.arange(B)
+        if _use_onehot():
+            # hoist the [B, N1] next-hop column toward tgt once; each hop
+            # is then a single one-hot contraction over it (the scalar
+            # gather chain serialized 2x64 tiny DMAs per hop)
+            ncol = _pick_col(st["enext"], tgt_node).astype(jnp.float32)
 
-        def body(i, carry):
-            p, out, prev = carry
-            nxt = st["enext"][bidx, p, tgt_node]
-            nxt = jnp.where(nxt < 0, p, nxt)
-            out = out.at[:, i].set(nxt)
-            prev = jnp.where(nxt != p, p, prev)
-            return (nxt, out, prev)
+            def body(i, carry):
+                p, out, prev = carry
+                nxt = jnp.einsum("bn,bn->b", _ohf(p, ncol.shape[1]),
+                                 ncol).astype(jnp.int32)
+                nxt = jnp.where(nxt < 0, p, nxt)
+                out = out.at[:, i].set(nxt)
+                prev = jnp.where(nxt != p, p, prev)
+                return (nxt, out, prev)
+        else:
+            def body(i, carry):
+                p, out, prev = carry
+                nxt = st["enext"][bidx, p, tgt_node]
+                nxt = jnp.where(nxt < 0, p, nxt)
+                out = out.at[:, i].set(nxt)
+                prev = jnp.where(nxt != p, p, prev)
+                return (nxt, out, prev)
 
         out = jnp.full((B, max_len), -1, jnp.int32)
         p, out, prev = jax.lax.fori_loop(
@@ -782,14 +990,23 @@ class NavRollout:
             st = self.init_state(
                 batch, need_dtw=train_ml and feedback != "teacher")
 
+            onehot = _use_onehot()
+
             def step(st, xs):
                 t, rng_t = xs
                 rp, rn = jax.random.split(jax.random.fold_in(rng_loop, t), 2)
                 act = ~st["ended"]
 
                 # step bookkeeping: step_id[cur] = t + 1
-                st = {**st, "step_id": st["step_id"].at[bidx, st["cur"]].set(
-                    jnp.where(act, t + 1, st["step_id"][bidx, st["cur"]]))}
+                if onehot:
+                    tb = jnp.broadcast_to(t + 1, (B,)).astype(jnp.int32)
+                    st = {**st, "step_id": _set1(st["step_id"], st["cur"],
+                                                 tb, act)}
+                else:
+                    st = {**st,
+                          "step_id": st["step_id"].at[bidx, st["cur"]].set(
+                              jnp.where(act, t + 1,
+                                        st["step_id"][bidx, st["cur"]]))}
 
                 pano = self._pano_inputs(st, batch)
                 obj_kw = {}
@@ -821,11 +1038,17 @@ class NavRollout:
                 cands = pano["cands"]
                 K = cands["local"].shape[1]
                 # current node: rewrite with fused embedding
-                es = st["embed_sum"].at[bidx, st["cur"]].set(
-                    jnp.where(act[:, None], pano_fused,
-                              st["embed_sum"][bidx, st["cur"]]))
-                ec = st["embed_cnt"].at[bidx, st["cur"]].set(
-                    jnp.where(act, 1.0, st["embed_cnt"][bidx, st["cur"]]))
+                if onehot:
+                    es = _set1(st["embed_sum"], st["cur"],
+                               pano_fused.astype(st["embed_sum"].dtype), act)
+                    ec = _set1(st["embed_cnt"], st["cur"],
+                               jnp.ones((B,), st["embed_cnt"].dtype), act)
+                else:
+                    es = st["embed_sum"].at[bidx, st["cur"]].set(
+                        jnp.where(act[:, None], pano_fused,
+                                  st["embed_sum"][bidx, st["cur"]]))
+                    ec = st["embed_cnt"].at[bidx, st["cur"]].set(
+                        jnp.where(act, 1.0, st["embed_cnt"][bidx, st["cur"]]))
                 st = {**st, "embed_sum": es, "embed_cnt": ec}
                 # candidates: accumulate unless already visited.  The match
                 # is computed ONCE here (over N real slots) and reused by
@@ -836,14 +1059,32 @@ class NavRollout:
                 cmatch = known[:, None, :] == cands["local"][:, :, None]
                 cnode = jnp.argmax(cmatch, -1).astype(jnp.int32)
                 chas = cmatch.any(-1) & cands["mask"]
-                cand_vis = st["visited"][bidx[:, None], cnode]
+                cand_vis = _pickk(st["visited"], cnode) if onehot \
+                    else st["visited"][bidx[:, None], cnode]
                 add = cands["mask"] & ~cand_vis & act[:, None] & cmatch.any(-1)
                 tgt = jnp.where(add, cnode, r.num_nodes)
-                st = {**st,
-                      "embed_sum": st["embed_sum"].at[bidx[:, None], tgt].add(
-                          jnp.where(add[..., None], pano_embeds[:, :K], 0.0)),
-                      "embed_cnt": st["embed_cnt"].at[bidx[:, None], tgt].add(
-                          add.astype(jnp.float32))}
+                if onehot:
+                    # scatter-add -> MXU contraction: only the discarded
+                    # TRASH row (slot N) can receive >1 candidate, so the
+                    # sum-then-add reassociation is exact on live slots
+                    oh_t = _ohf(tgt, r.num_nodes + 1)    # [B, K, N1]
+                    addf = add.astype(jnp.float32)
+                    pe = pano_embeds[:, :K].astype(jnp.float32) \
+                        * addf[..., None]
+                    st = {**st,
+                          "embed_sum": st["embed_sum"] + jnp.einsum(
+                              "bkn,bkd->bnd", oh_t, pe),
+                          "embed_cnt": st["embed_cnt"] + jnp.einsum(
+                              "bkn,bk->bn", oh_t, addf)}
+                else:
+                    st = {**st,
+                          "embed_sum": st["embed_sum"].at[
+                              bidx[:, None], tgt].add(
+                              jnp.where(add[..., None], pano_embeds[:, :K],
+                                        0.0)),
+                          "embed_cnt": st["embed_cnt"].at[
+                              bidx[:, None], tgt].add(
+                              add.astype(jnp.float32))}
 
                 nav_in, aux = self._nav_inputs(st, batch, pano, pano_embeds,
                                                cnode=cnode, has=chas)
@@ -859,8 +1100,16 @@ class NavRollout:
                     act[:, None], outs["cls_embeds"], st["last_embeds"])}
 
                 probs = jax.nn.softmax(logits, axis=1)
-                st = {**st, "stop_prob": st["stop_prob"].at[bidx, st["cur"]].set(
-                    jnp.where(act, probs[:, 0], st["stop_prob"][bidx, st["cur"]]))}
+                if onehot:
+                    # where-form set: stop_prob holds -inf, never multiply
+                    st = {**st, "stop_prob": _set1(
+                        st["stop_prob"], st["cur"],
+                        probs[:, 0].astype(st["stop_prob"].dtype), act)}
+                else:
+                    st = {**st,
+                          "stop_prob": st["stop_prob"].at[bidx, st["cur"]].set(
+                              jnp.where(act, probs[:, 0],
+                                        st["stop_prob"][bidx, st["cur"]]))}
 
                 # object grounding bookkeeping (reverie agent: og pred of the
                 # eventual stop node, agent_obj_goat.py:676-690)
@@ -870,9 +1119,16 @@ class NavRollout:
                     oslot = jnp.argmax(outs["obj_logits"], axis=1)
                     k_obj = jnp.clip(oslot - obj_off, 0,
                                      pano["objs"]["oid"].shape[1] - 1)
-                    oid = pano["objs"]["oid"][bidx, k_obj]
-                    st = {**st, "og_oid": st["og_oid"].at[bidx, st["cur"]].set(
-                        jnp.where(act, oid, st["og_oid"][bidx, st["cur"]]))}
+                    oid = _pick1(pano["objs"]["oid"], k_obj) if onehot \
+                        else pano["objs"]["oid"][bidx, k_obj]
+                    if onehot:
+                        st = {**st, "og_oid": _set1(st["og_oid"], st["cur"],
+                                                    oid, act)}
+                    else:
+                        st = {**st,
+                              "og_oid": st["og_oid"].at[bidx, st["cur"]].set(
+                                  jnp.where(act, oid,
+                                            st["og_oid"][bidx, st["cur"]]))}
                     if train_ml and "gt_obj_slot" in batch:
                         gt_slot = batch["gt_obj_slot"]
                         at_goal = pano["cur_vp"] == batch["gt_path"][
@@ -965,17 +1221,21 @@ class NavRollout:
                 # record trajectory segment (episodic path cur -> action)
                 seg, prev = self._expand_path(st, tgt_node, r.seg_len)
                 seg = jnp.where(moves[:, None], seg, -1)
-                seg_hops = jnp.where(
-                    moves, st["ehops"][bidx, st["cur"], tgt_node], 0.0)
+                hops_ct = jnp.einsum(
+                    "bn,bn->b", _ohf(st["cur"], N + 1),
+                    _pick_col(st["ehops"], tgt_node)) if onehot \
+                    else st["ehops"][bidx, st["cur"], tgt_node]
+                seg_hops = jnp.where(moves, hops_ct, 0.0)
 
                 # extend the incremental DTW row with the traversed segment
                 if "dtw_row" in st:
                     def dtw_body(k, row):
-                        node = seg[:, k]
-                        vp_k = st["node_vp"][bidx, jnp.clip(node, 0,
-                                                            r.num_nodes)]
+                        node = jnp.clip(seg[:, k], 0, r.num_nodes)
+                        vp_k = _pick1(st["node_vp"], node) if onehot \
+                            else st["node_vp"][bidx, node]
                         cost = self._gt_cost(batch, vp_k)
-                        return dtw_extend_row(row, cost, valid=node >= 0)
+                        return dtw_extend_row(row, cost,
+                                              valid=seg[:, k] >= 0)
 
                     st = {**st, "dtw_row": jax.lax.fori_loop(
                         0, r.seg_len, dtw_body, st["dtw_row"])}
@@ -986,21 +1246,42 @@ class NavRollout:
                 # target toward cur) so it stays correct even when the
                 # recorded segment is longer than seg_len
                 scan = batch["scan_idx"]
-                rev = st["enext"][bidx, tgt_node, st["cur"]]
-                prev = jnp.where(rev >= 0, rev, prev)
-                prev_vp = st["node_vp"][bidx, prev]
-                pc = w.get_cands(scan, prev_vp)
-                pk = jnp.argmax(
-                    (pc["local"] == st["node_vp"][bidx, tgt_node][:, None])
-                    & pc["mask"], axis=1)
-                new_view = pc["ptid"][bidx, pk]
+                if onehot:
+                    rev = jnp.einsum(
+                        "bn,bn->b", _ohf(tgt_node, N + 1),
+                        _pick_col(st["enext"], st["cur"]).astype(jnp.float32)
+                    ).astype(jnp.int32)
+                    prev = jnp.where(rev >= 0, rev, prev)
+                    prev_vp = _pick1(st["node_vp"], prev)
+                    tgt_vp = _pick1(st["node_vp"], tgt_node)
+                    pc = w.get_cands(scan, prev_vp)
+                    pk = jnp.argmax(
+                        (pc["local"] == tgt_vp[:, None]) & pc["mask"], axis=1)
+                    new_view = _pick1(pc["ptid"], pk)
+                else:
+                    rev = st["enext"][bidx, tgt_node, st["cur"]]
+                    prev = jnp.where(rev >= 0, rev, prev)
+                    prev_vp = st["node_vp"][bidx, prev]
+                    pc = w.get_cands(scan, prev_vp)
+                    pk = jnp.argmax(
+                        (pc["local"] == st["node_vp"][bidx, tgt_node][:, None])
+                        & pc["mask"], axis=1)
+                    new_view = pc["ptid"][bidx, pk]
                 # seg/action record LOCAL VIEWPOINT ids resolved BEFORE the
                 # arrival update — slot indices decoded through the final
                 # table (or even post-arrive) would read the wrong node
                 # once the spill policy reuses a slot
-                seg_vp = jnp.where(seg >= 0, st["node_vp"][
-                    bidx[:, None], jnp.clip(seg, 0, r.num_nodes)], -1)
-                act_vp = jnp.where(moves, st["node_vp"][bidx, tgt_node], -1)
+                if onehot:
+                    seg_vp = jnp.where(
+                        seg >= 0,
+                        _pickk(st["node_vp"], jnp.clip(seg, 0, r.num_nodes)),
+                        -1)
+                    act_vp = jnp.where(moves, tgt_vp, -1)
+                else:
+                    seg_vp = jnp.where(seg >= 0, st["node_vp"][
+                        bidx[:, None], jnp.clip(seg, 0, r.num_nodes)], -1)
+                    act_vp = jnp.where(moves, st["node_vp"][bidx, tgt_node],
+                                       -1)
 
                 st = {**st,
                       "view_ix": jnp.where(moves, new_view, st["view_ix"]),
@@ -1288,12 +1569,22 @@ class NavRollout:
                 st.pop(k, None)
 
             # ---------------- phase A: geometry scan (no model) --------
+            onehot = _use_onehot()
+
             def geo_step(st, t):
                 act = ~st["ended"]
-                st = {**st, "step_id": st["step_id"].at[bidx, st["cur"]].set(
-                    jnp.where(act, t + 1, st["step_id"][bidx, st["cur"]]))}
+                if onehot:
+                    tb = jnp.broadcast_to(t + 1, (B,)).astype(jnp.int32)
+                    st = {**st, "step_id": _set1(st["step_id"], st["cur"],
+                                                 tb, act)}
+                else:
+                    st = {**st,
+                          "step_id": st["step_id"].at[bidx, st["cur"]].set(
+                              jnp.where(act, t + 1,
+                                        st["step_id"][bidx, st["cur"]]))}
                 cur_slot = st["cur"]
-                cur_vp = st["node_vp"][bidx, cur_slot]
+                cur_vp = _pick1(st["node_vp"], cur_slot) if onehot \
+                    else st["node_vp"][bidx, cur_slot]
                 vi = st["view_ix"]
                 # full pano-input trace: the img/loc gathers are unused
                 # here and dead-code-eliminated by XLA; only the candidate
@@ -1307,7 +1598,8 @@ class NavRollout:
                 cmatch = known[:, None, :] == cands["local"][:, :, None]
                 cnode = jnp.argmax(cmatch, -1).astype(jnp.int32)
                 chas = cmatch.any(-1) & cands["mask"]
-                cand_vis = st["visited"][bidx[:, None], cnode]
+                cand_vis = _pickk(st["visited"], cnode) if onehot \
+                    else st["visited"][bidx[:, None], cnode]
                 add = cands["mask"] & ~cand_vis & act[:, None] & cmatch.any(-1)
                 tgt = jnp.where(add, cnode, r.num_nodes)
 
@@ -1316,7 +1608,8 @@ class NavRollout:
                                                 embeds=False)
                 target = self._teacher(st, batch, aux, t, imitation=True)
                 a = jnp.maximum(target, 0)
-                goal = batch["gt_path"][bidx, batch["gt_len"] - 1]
+                goal = _pick1(batch["gt_path"], batch["gt_len"] - 1) \
+                    if onehot else batch["gt_path"][bidx, batch["gt_len"] - 1]
                 a_stop = (cur_vp == goal) | (a == 0)
                 just_ended = act & (a_stop | aux["no_vp_left"]
                                     | (t == T - 1))
@@ -1326,14 +1619,27 @@ class NavRollout:
                 # camera update (arrival-edge view of prev->action)
                 _, prev = self._expand_path(st, tgt_node, r.seg_len)
                 scan = batch["scan_idx"]
-                rev = st["enext"][bidx, tgt_node, st["cur"]]
-                prev = jnp.where(rev >= 0, rev, prev)
-                prev_vp = st["node_vp"][bidx, prev]
-                pc = w.get_cands(scan, prev_vp)
-                pk = jnp.argmax(
-                    (pc["local"] == st["node_vp"][bidx, tgt_node][:, None])
-                    & pc["mask"], axis=1)
-                new_view = pc["ptid"][bidx, pk]
+                if onehot:
+                    rev = jnp.einsum(
+                        "bn,bn->b", _ohf(tgt_node, N1),
+                        _pick_col(st["enext"], st["cur"]).astype(jnp.float32)
+                    ).astype(jnp.int32)
+                    prev = jnp.where(rev >= 0, rev, prev)
+                    prev_vp = _pick1(st["node_vp"], prev)
+                    tgt_vp = _pick1(st["node_vp"], tgt_node)
+                    pc = w.get_cands(scan, prev_vp)
+                    pk = jnp.argmax(
+                        (pc["local"] == tgt_vp[:, None]) & pc["mask"], axis=1)
+                    new_view = _pick1(pc["ptid"], pk)
+                else:
+                    rev = st["enext"][bidx, tgt_node, st["cur"]]
+                    prev = jnp.where(rev >= 0, rev, prev)
+                    prev_vp = st["node_vp"][bidx, prev]
+                    pc = w.get_cands(scan, prev_vp)
+                    pk = jnp.argmax(
+                        (pc["local"] == st["node_vp"][bidx, tgt_node][:, None])
+                        & pc["mask"], axis=1)
+                    new_view = pc["ptid"][bidx, pk]
 
                 st = {**st,
                       "view_ix": jnp.where(moves, new_view, st["view_ix"]),
@@ -1412,14 +1718,25 @@ class NavRollout:
                 es, ec, last = carry
                 act = xs_t["act"]
                 cur = xs_t["cur"]
-                es = es.at[bidx, cur].set(
-                    jnp.where(act[:, None], xs_t["pf"], es[bidx, cur]))
-                ec = ec.at[bidx, cur].set(jnp.where(act, 1.0, ec[bidx, cur]))
-                es = es.at[bidx[:, None], xs_t["tgt"]].add(
-                    jnp.where(xs_t["add"][..., None],
-                              xs_t["pe"][:, :K].astype(jnp.float32), 0.0))
-                ec = ec.at[bidx[:, None], xs_t["tgt"]].add(
-                    xs_t["add"].astype(jnp.float32))
+                if onehot:
+                    es = _set1(es, cur, xs_t["pf"].astype(es.dtype), act)
+                    ec = _set1(ec, cur, jnp.ones((B,), ec.dtype), act)
+                    oh_t = _ohf(xs_t["tgt"], N1)
+                    addf = xs_t["add"].astype(jnp.float32)
+                    pe = xs_t["pe"][:, :K].astype(jnp.float32) \
+                        * addf[..., None]
+                    es = es + jnp.einsum("bkn,bkd->bnd", oh_t, pe)
+                    ec = ec + jnp.einsum("bkn,bk->bn", oh_t, addf)
+                else:
+                    es = es.at[bidx, cur].set(
+                        jnp.where(act[:, None], xs_t["pf"], es[bidx, cur]))
+                    ec = ec.at[bidx, cur].set(
+                        jnp.where(act, 1.0, ec[bidx, cur]))
+                    es = es.at[bidx[:, None], xs_t["tgt"]].add(
+                        jnp.where(xs_t["add"][..., None],
+                                  xs_t["pe"][:, :K].astype(jnp.float32), 0.0))
+                    ec = ec.at[bidx[:, None], xs_t["tgt"]].add(
+                        xs_t["add"].astype(jnp.float32))
 
                 gmap_img, vp_img = _nav_embed_assemble(
                     es, ec, last, xs_t["pe"], N, D)
