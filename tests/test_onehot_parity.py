@@ -23,12 +23,12 @@ from vln_goat_tpu.train import trainer as TR
 from vln_goat_tpu.train.params import init_goat_params
 
 
-def _build(dataset="r2r", **rkw):
+def _build(dataset="r2r", num_vps=30, num_nodes=24, horizon=6, **rkw):
     cfg = GoatConfig.for_dataset(dataset)
     cfg = cfg.replace(num_l_layers=2, num_pano_layers=1, num_x_layers=1)
-    rcfg = RolloutConfig(num_nodes=24, horizon=6, feat_dim=cfg.image_feat_size,
-                         **rkw)
-    scans = [make_synthetic_scan(f"s{i}", num_vps=30, degree=3, seed=i)
+    rcfg = RolloutConfig(num_nodes=num_nodes, horizon=horizon,
+                         feat_dim=cfg.image_feat_size, **rkw)
+    scans = [make_synthetic_scan(f"s{i}", num_vps=num_vps, degree=3, seed=i)
              for i in range(2)]
     world = NavWorld.build(scans, feat_dim=cfg.image_feat_size, seed=0)
     model = GoatModel(cfg, dtype=jnp.float32)
@@ -118,6 +118,39 @@ def test_teacher_vec_and_decode_parity():
     assert (np.asarray(t0["targets"]) == np.asarray(t1["targets"])).all()
     for k in ("actions", "segs", "node_vp", "stop_node", "final_cur"):
         assert (np.asarray(d0[k]) == np.asarray(d1[k])).all(), k
+
+
+@pytest.mark.slow
+def test_large_world_ids_above_256_with_spill():
+    """Regime where bf16-truncated one-hot contractions corrupt payloads
+    (ADVICE r3): viewpoint ids > 256 (not exactly representable in bf16)
+    plus overflow-spill pressure on the node table (near-INF edist rows).
+    _esum forces Precision.HIGHEST so the one-hot path must stay exact on
+    EVERY backend, including TPU's default-bf16 matmul units."""
+    model, params, ro, batch = _build(
+        "rxr", num_vps=340, num_nodes=10, horizon=8,
+        expert_policy="ndtw", overflow_policy="spill")
+    rng = jax.random.PRNGKey(11)
+
+    def run():
+        fn = ro.build_rollout("sample", train_ml=True, deterministic=True)
+        out = jax.jit(fn)(params, batch, rng)
+        dfn = ro.build_rollout("argmax", train_ml=False, deterministic=True)
+        d = jax.jit(dfn)(params, batch, rng)
+        return out, d
+
+    (out0, d0) = _with_onehot("0", run)
+    (out1, d1) = _with_onehot("1", run)
+    # node_vp carries raw viewpoint ids — above 256 these are NOT bf16-exact,
+    # so any default-precision contraction would corrupt them
+    assert int(np.asarray(out1["node_vp"]).max()) > 256
+    for k in ("actions", "segs", "targets", "node_vp", "stop_node",
+              "final_cur", "n_nodes", "overflow_n", "spilled_n"):
+        assert (np.asarray(out0[k]) == np.asarray(out1[k])).all(), k
+    for k in ("actions", "segs", "node_vp", "stop_node", "final_cur"):
+        assert (np.asarray(d0[k]) == np.asarray(d1[k])).all(), k
+    np.testing.assert_allclose(np.asarray(out0["ml_loss"]),
+                               np.asarray(out1["ml_loss"]), atol=1e-6, rtol=0)
 
 
 def test_dagger_train_step_parity():

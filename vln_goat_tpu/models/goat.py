@@ -136,9 +136,14 @@ def fuse_logits(global_logits, local_logits, gmap_masks, gmap_visited_masks,
     # is the candidate's gmap node visited?
     cand_visited = jnp.take_along_axis(gmap_visited_masks, tgt, axis=1) & is_cand
     bw = jnp.sum(jnp.where(cand_visited, lv, 0.0), axis=1)          # [B]
-    direct = jnp.einsum("bl,blg->bg", jnp.where(cand_visited, 0.0, lv), onehot)
+    # HIGHEST: TPU default matmul precision would truncate the f32 logit
+    # payloads to bf16 inside this one-hot scatter, breaking exactness vs
+    # the reference python scatter (can flip argmax near ties)
+    direct = jnp.einsum("bl,blg->bg", jnp.where(cand_visited, 0.0, lv), onehot,
+                        precision=jax.lax.Precision.HIGHEST)
     has_direct = jnp.einsum("bl,blg->bg",
-                            (is_cand & ~cand_visited).astype(lv.dtype), onehot) > 0
+                            (is_cand & ~cand_visited).astype(lv.dtype), onehot,
+                            precision=jax.lax.Precision.HIGHEST) > 0
 
     unvis = (slot >= first_gmap_slot) & ~gmap_visited_masks & gmap_masks
     fused = masked_global + jnp.where(

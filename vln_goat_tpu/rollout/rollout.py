@@ -137,6 +137,21 @@ def _use_onehot() -> bool:
     return os.environ.get("GOAT_ONEHOT", "1") == "1"
 
 
+def _esum(spec, *ops):
+    """One-hot selection einsum, forced to ``Precision.HIGHEST``.
+
+    On TPU the DEFAULT matmul precision truncates f32 dot operands to
+    bf16, which silently breaks the exactness argument these selections
+    rely on: viewpoint-id payloads above 256 and f32 distance payloads
+    (edist rows near INF_DIST, world.dist, positions, d_k*updf) would
+    round, flipping FloydGraph relaxations, teacher argmin/argmax choices
+    and DTW costs.  HIGHEST keeps the contraction in true f32, so picking
+    one value through a 0/1 one-hot is exact again (each output element is
+    a single addend plus zeros).  Every bookkeeping einsum in this module
+    must go through this helper, never bare ``jnp.einsum``."""
+    return jnp.einsum(spec, *ops, precision=jax.lax.Precision.HIGHEST)
+
+
 def _oh_eq(idx, n):
     """Boolean one-hot [..., n] via broadcast compare (no gather at all).
     Out-of-range indices (e.g. -1 pads) produce an all-zero row."""
@@ -150,20 +165,20 @@ def _ohf(idx, n):
 def _pick1(x, idx):
     """x[bidx, idx] for x [B, N, *rest], idx [B] -> [B, *rest] (exact)."""
     oh = _ohf(idx, x.shape[1])
-    out = jnp.einsum("bn,bn...->b...", oh, x.astype(jnp.float32))
+    out = _esum("bn,bn...->b...", oh, x.astype(jnp.float32))
     return out.astype(x.dtype)
 
 
 def _pickk(x, idx):
     """x[bidx[:,None], idx] for x [B, N], idx [B, K] -> [B, K] (exact)."""
     oh = _ohf(idx, x.shape[1])
-    return jnp.einsum("bkn,bn->bk", oh, x.astype(jnp.float32)).astype(x.dtype)
+    return _esum("bkn,bn->bk", oh, x.astype(jnp.float32)).astype(x.dtype)
 
 
 def _pick_col(x, idx):
     """x[bidx, :, idx] for x [B, M, N], idx [B] -> [B, M] (exact)."""
     oh = _ohf(idx, x.shape[2])
-    return jnp.einsum("bn,bmn->bm", oh, x.astype(jnp.float32)).astype(x.dtype)
+    return _esum("bn,bmn->bm", oh, x.astype(jnp.float32)).astype(x.dtype)
 
 
 def _set1(x, idx, val, act=None):
@@ -266,10 +281,10 @@ class NavRollout:
             oh_g = _ohf(gt, V)                             # [B, Tg, V]
             if vp.ndim == 1:
                 row = self.world.dist[scan, vp]            # [B, V]
-                return jnp.einsum("btv,bv->bt", oh_g, row)
-            rows = jnp.einsum("bnv,bvw->bnw", _ohf(vp % V, V),
+                return _esum("btv,bv->bt", oh_g, row)
+            rows = _esum("bnv,bvw->bnw", _ohf(vp % V, V),
                               self.world.dist[scan])
-            return jnp.einsum("bnw,btw->bnt", rows, oh_g)  # [B, N, Tg]
+            return _esum("bnw,btw->bnt", rows, oh_g)  # [B, N, Tg]
         if vp.ndim == 1:                                   # [B]
             return self.world.dist[scan[:, None], vp[:, None], gt]
         return self.world.dist[scan[:, None, None], vp[..., None],
@@ -392,8 +407,8 @@ class NavRollout:
             oh_arr = _oh_eq(arr, N1)                     # [B, N1] bool
             oh_c = _ohf(cidx, N1)                        # [B, K, N1] f32
             wf = write.astype(jnp.float32)
-            hitw = jnp.einsum("bkn,bk->bn", oh_c, wf) > 0
-            vp_new = jnp.einsum(
+            hitw = _esum("bkn,bk->bn", oh_c, wf) > 0
+            vp_new = _esum(
                 "bkn,bk->bn", oh_c, cands["local"].astype(jnp.float32) * wf)
             node_vp = jnp.where(hitw, vp_new.astype(jnp.int32),
                                 st["node_vp"])
@@ -403,11 +418,11 @@ class NavRollout:
             # no improving candidate keep their old value (the scatter
             # wrote the old value back there — identical result).
             row_d = _pick1(edist, arr)                   # edist[b, arr, :]
-            old = jnp.einsum("bkn,bn->bk", oh_c, row_d)
+            old = _esum("bkn,bn->bk", oh_c, row_d)
             upd = write & (d_k < old)
             updf = upd.astype(jnp.float32)
-            m_row = jnp.einsum("bkn,bk->bn", oh_c, updf) > 0    # [B, N1]
-            val_row = jnp.einsum("bkn,bk->bn", oh_c, d_k * updf)
+            m_row = _esum("bkn,bk->bn", oh_c, updf) > 0    # [B, N1]
+            val_row = _esum("bkn,bk->bn", oh_c, d_k * updf)
             upd3 = oh_arr[:, :, None] & m_row[:, None, :]       # (arr, j)
             upd3t = m_row[:, :, None] & oh_arr[:, None, :]      # (j, arr)
             edist = jnp.where(upd3, val_row[:, None, :], edist)
@@ -572,7 +587,7 @@ class NavRollout:
         onehot = _use_onehot()
         if onehot:
             # [B,K] row-gathers -> one MXU contraction (see _use_onehot)
-            cand_img = jnp.einsum("bkv,bvd->bkd", _ohf(cands["ptid"], 36),
+            cand_img = _esum("bkv,bvd->bkd", _ohf(cands["ptid"], 36),
                                   feats.astype(jnp.float32)
                                   ).astype(feats.dtype)
         else:
@@ -583,7 +598,7 @@ class NavRollout:
                                        r.angle_feat_size)
         view_img = feats                                  # [B, 36, Df]
         ang_tab = pano_angle_table(r.angle_feat_size)     # [36, 36, A]
-        view_ang = jnp.einsum("bv,vwa->bwa", _ohf(vi, 36), ang_tab) \
+        view_ang = _esum("bv,vwa->bwa", _ohf(vi, 36), ang_tab) \
             if onehot else ang_tab[vi]                    # [B, 36, A]
 
         img = jnp.concatenate([cand_img, view_img], axis=1).astype(jnp.float32)
@@ -594,7 +609,7 @@ class NavRollout:
         # mask out the views claimed by candidates (used_viewidxs,
         # agent.py:99-119); pad slots scatter 0 via add (set would race)
         if onehot:
-            used = jnp.einsum("bkv,bk->bv", _ohf(cands["ptid"], 36),
+            used = _esum("bkv,bk->bv", _ohf(cands["ptid"], 36),
                               cands["mask"].astype(jnp.float32)) > 0
         else:
             used = jnp.zeros((B, 36), jnp.int32).at[
@@ -668,7 +683,7 @@ class NavRollout:
             # `% V` replicates fancy-indexing wrap for -1 pad slots.
             V = w.pos.shape[1]
             pos_scan = w.pos[scan]                       # [B, V, 3]
-            npos = jnp.einsum("bnv,bvc->bnc", _ohf(node_vp % V, V), pos_scan)
+            npos = _esum("bnv,bvc->bnc", _ohf(node_vp % V, V), pos_scan)
             ed_row = _pick1(st["edist"], cur)            # [B, N1]
             eh_row = _pick1(st["ehops"], cur)
             ed_cur, eh_cur = ed_row[:, :N], eh_row[:, :N]
@@ -731,11 +746,11 @@ class NavRollout:
         start_ft = G.pos_features_jnp(w.pos[scan, cur_vp], start_pos, cam_h,
                                       cam_e, sd, sh, r.angle_feat_size)
         if onehot:
-            cand_pos = jnp.einsum("bkv,bvc->bkc",
+            cand_pos = _esum("bkv,bvc->bkc",
                                   _ohf(cands["local"] % V, V), pos_scan)
             oh_cn = _ohf(cnode, N1)
-            cd = jnp.einsum("bkn,bn->bk", oh_cn, ed_row)
-            ch = jnp.einsum("bkn,bn->bk", oh_cn, eh_row)
+            cd = _esum("bkn,bn->bk", oh_cn, ed_row)
+            ch = _esum("bkn,bn->bk", oh_cn, eh_row)
         else:
             cand_pos = w.pos[scan[:, None], cands["local"]]
             cd = st["edist"][bidx[:, None], cur[:, None], cnode]
@@ -815,12 +830,12 @@ class NavRollout:
             if onehot:
                 V = w.hops.shape[1]
                 oh_n = _ohf(node_vp % V, V)              # [B, N, V]
-                hops = jnp.einsum("bnv,bv->bn", oh_n,
+                hops = _esum("bnv,bv->bn", oh_n,
                                   w.hops[scan, cur_vp].astype(jnp.float32)
                                   ).astype(w.hops.dtype)
                 # next-hop columns toward each node, hoisted out of the
                 # loop: col_n[b, w, n] = nexthop[b, w, node_vp[b, n]]
-                col_n = jnp.einsum("bnv,bwv->bwn", oh_n,
+                col_n = _esum("bnv,bwv->bwn", oh_n,
                                    w.nexthop[scan].astype(jnp.float32))
             else:
                 hops = w.hops[scan[:, None], cur_vp[:, None], node_vp]
@@ -831,7 +846,7 @@ class NavRollout:
                 row, p = carry
                 if onehot:
                     oh_p = _ohf(p % V, V)                # [B, N, V]
-                    nxt = jnp.einsum("bnw,bwn->bn", oh_p,
+                    nxt = _esum("bnw,bwn->bn", oh_p,
                                      col_n).astype(jnp.int32)
                 else:
                     nxt = w.nexthop[scan[:, None], p, node_vp]
@@ -861,8 +876,8 @@ class NavRollout:
                 oh_n = _ohf(node_vp % V, V)              # [B, N, V]
                 col_g = _pick_col(w.dist[scan], goal)    # dist[b, :, goal]
                 row_c = w.dist[scan, cur_vp]             # [B, V]
-                d_goal = jnp.einsum("bnv,bv->bn", oh_n, col_g)
-                d_cur = jnp.einsum("bnv,bv->bn", oh_n, row_c)
+                d_goal = _esum("bnv,bv->bn", oh_n, col_g)
+                d_cur = _esum("bnv,bv->bn", oh_n, row_c)
             else:
                 d_goal = w.dist[scan[:, None], node_vp, goal[:, None]]
                 d_cur = w.dist[scan[:, None], cur_vp[:, None], node_vp]
@@ -889,7 +904,7 @@ class NavRollout:
 
             def body(i, carry):
                 p, out, prev = carry
-                nxt = jnp.einsum("bn,bn->b", _ohf(p, ncol.shape[1]),
+                nxt = _esum("bn,bn->b", _ohf(p, ncol.shape[1]),
                                  ncol).astype(jnp.int32)
                 nxt = jnp.where(nxt < 0, p, nxt)
                 out = out.at[:, i].set(nxt)
@@ -1072,9 +1087,9 @@ class NavRollout:
                     pe = pano_embeds[:, :K].astype(jnp.float32) \
                         * addf[..., None]
                     st = {**st,
-                          "embed_sum": st["embed_sum"] + jnp.einsum(
+                          "embed_sum": st["embed_sum"] + _esum(
                               "bkn,bkd->bnd", oh_t, pe),
-                          "embed_cnt": st["embed_cnt"] + jnp.einsum(
+                          "embed_cnt": st["embed_cnt"] + _esum(
                               "bkn,bk->bn", oh_t, addf)}
                 else:
                     st = {**st,
@@ -1221,7 +1236,7 @@ class NavRollout:
                 # record trajectory segment (episodic path cur -> action)
                 seg, prev = self._expand_path(st, tgt_node, r.seg_len)
                 seg = jnp.where(moves[:, None], seg, -1)
-                hops_ct = jnp.einsum(
+                hops_ct = _esum(
                     "bn,bn->b", _ohf(st["cur"], N + 1),
                     _pick_col(st["ehops"], tgt_node)) if onehot \
                     else st["ehops"][bidx, st["cur"], tgt_node]
@@ -1247,7 +1262,7 @@ class NavRollout:
                 # recorded segment is longer than seg_len
                 scan = batch["scan_idx"]
                 if onehot:
-                    rev = jnp.einsum(
+                    rev = _esum(
                         "bn,bn->b", _ohf(tgt_node, N + 1),
                         _pick_col(st["enext"], st["cur"]).astype(jnp.float32)
                     ).astype(jnp.int32)
@@ -1620,7 +1635,7 @@ class NavRollout:
                 _, prev = self._expand_path(st, tgt_node, r.seg_len)
                 scan = batch["scan_idx"]
                 if onehot:
-                    rev = jnp.einsum(
+                    rev = _esum(
                         "bn,bn->b", _ohf(tgt_node, N1),
                         _pick_col(st["enext"], st["cur"]).astype(jnp.float32)
                     ).astype(jnp.int32)
@@ -1725,8 +1740,8 @@ class NavRollout:
                     addf = xs_t["add"].astype(jnp.float32)
                     pe = xs_t["pe"][:, :K].astype(jnp.float32) \
                         * addf[..., None]
-                    es = es + jnp.einsum("bkn,bkd->bnd", oh_t, pe)
-                    ec = ec + jnp.einsum("bkn,bk->bn", oh_t, addf)
+                    es = es + _esum("bkn,bkd->bnd", oh_t, pe)
+                    ec = ec + _esum("bkn,bk->bn", oh_t, addf)
                 else:
                     es = es.at[bidx, cur].set(
                         jnp.where(act[:, None], xs_t["pf"], es[bidx, cur]))
@@ -1797,7 +1812,10 @@ class NavRollout:
 
     def jitted(self, feedback="argmax", train_ml=False, deterministic=True,
                sample_feedback="sample", remat="full"):
-        key = (feedback, train_ml, deterministic, sample_feedback, remat)
+        # trace-time env flags must key the cache too, or flipping them
+        # in-process silently returns a stale trace (ADVICE r3)
+        key = (feedback, train_ml, deterministic, sample_feedback, remat,
+               _use_onehot(), _scan_unroll())
         if key not in self._jitted:
             self._jitted[key] = jax.jit(
                 self.build_rollout(feedback, train_ml, deterministic,
