@@ -471,8 +471,56 @@ class TrajBatchBuilder:
         return ex
 
     # ------------------------------------------------------------------
+    def _sample_evt(self, rng, task: str, end_vp_pos_ratio: float) -> str:
+        """Per-example end-vp-type draw (ratios: tasks.py:206-211,344-350).
+        Consumes exactly one rng.random() — the CFP override happens after
+        the draw, like the slow path always did."""
+        r = rng.random()
+        if task in ("mlm", "mrc"):
+            evt = "pos" if r < end_vp_pos_ratio else "neg_in_gt_path"
+        elif task in ("sap", "og", "cfp"):
+            evt = "pos" if r < end_vp_pos_ratio else \
+                ("neg_in_gt_path" if r < 0.6 else "neg_others")
+        else:
+            evt = "pos"
+        if task == "cfp":
+            evt = "pos"     # CFP pairs instruction with the full gt path
+        return evt
+
     def build_batch(self, items: List[dict], task: str,
-                    end_vp_pos_ratio: float = 0.2) -> Dict[str, np.ndarray]:
+                    end_vp_pos_ratio: float = 0.2,
+                    rng: Optional[np.random.Generator] = None,
+                    ) -> Dict[str, np.ndarray]:
+        """Build one task batch.
+
+        ``rng=None`` uses the builder's sequential stream (legacy).  Passing
+        a Generator makes the batch a PURE function of that Generator's
+        state — the contract the multi-process worker pool relies on (the
+        same (seed, step)-derived rng produces the same batch regardless of
+        which worker builds it, or how many workers exist).
+
+        Dispatches to the vectorized fast path (bit-identical output,
+        tests/test_pretrain_fastpath.py) except for REVERIE object batches.
+        """
+        if rng is None:
+            rng = self.rng
+        if self.objects is None and not self.objnav \
+                and task in ("mlm", "mrc", "sap", "cfp"):
+            return self._build_batch_fast(items, task, end_vp_pos_ratio, rng)
+        return self._build_batch_slow(items, task, end_vp_pos_ratio, rng)
+
+    def _build_batch_slow(self, items: List[dict], task: str,
+                          end_vp_pos_ratio: float,
+                          rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        old_rng, self.rng = self.rng, rng
+        try:
+            return self._build_batch_slow_inner(items, task, end_vp_pos_ratio)
+        finally:
+            self.rng = old_rng
+
+    def _build_batch_slow_inner(self, items: List[dict], task: str,
+                                end_vp_pos_ratio: float = 0.2,
+                                ) -> Dict[str, np.ndarray]:
         exs = []
         for it in items:
             r = self.rng.random()
@@ -509,6 +557,343 @@ class TrajBatchBuilder:
         out = {k: np.stack([e[k][:cap] if k in step_keys else e[k]
                             for e in exs], 0) for k in keys}
         B = len(exs)
+        for k, v in self.zdicts.items():
+            v = np.asarray(v, np.float32)
+            if v.ndim == 1:
+                v = v[:, None]
+            out[k] = np.broadcast_to(v[None], (B,) + v.shape).copy()
+        return out
+
+
+    # ------------------------------------------------------------------
+    # Vectorized fast path.  Same outputs, bit-for-bit, as the per-example
+    # slow path (tests/test_pretrain_fastpath.py) but packs the whole batch
+    # with flat [sum-of-steps] numpy ops: the per-example dense
+    # [max_steps, Lp, Df] zeros + np.stack copies were the pretrain host
+    # throughput ceiling (BASELINE.md "Pretrain baseline").
+    # ------------------------------------------------------------------
+    def _cat_tables(self):
+        """Per-scan candidate/pos tables concatenated into global-vp index
+        space (cached).  Candidate widths are right-padded to the max."""
+        cat = getattr(self, "_cat", None)
+        if cat is not None:
+            return cat
+        Kg = max(self.graphs[s].cand_mask.shape[1] for s in self.scan_order)
+
+        def pad(a, fill):
+            if a.shape[1] == Kg:
+                return a
+            return np.concatenate(
+                [a, np.full((a.shape[0], Kg - a.shape[1]), fill, a.dtype)], 1)
+
+        gs = [self.graphs[s] for s in self.scan_order]
+        cat = (np.concatenate([pad(g.cand_mask, False) for g in gs]),
+               np.concatenate([pad(g.cand_ptid, 0) for g in gs]),
+               np.concatenate([pad(g.cand_heading, 0.0) for g in gs]),
+               np.concatenate([pad(g.cand_elev, 0.0) for g in gs]),
+               np.concatenate([pad(g.cand_local, -1) for g in gs]),
+               np.concatenate([g.pos for g in gs]))
+        self._cat = cat
+        return cat
+
+    def _build_batch_fast(self, items: List[dict], task: str,
+                          end_vp_pos_ratio: float,
+                          rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        sh = self.sh
+        B = len(items)
+        K, Lp, Gm, A = sh.max_cands, sh.pano_len, sh.max_gmap, self.afs
+        Df = self.features.shape[-1]
+        L = 1 + Lp
+        cm_cat, ptid_cat, ch_cat, ce_cat, cl_cat, pos_cat = self._cat_tables()
+        Kg = cm_cat.shape[1]
+        assert Kg <= K, (Kg, K)
+        max_T = min(TRAIN_MAX_STEP, sh.max_steps - 1)
+
+        old_rng, self.rng = self.rng, rng
+        try:
+            # ---- stage 1: every rng draw, in the slow path's exact
+            # per-example order: [evt, aug, end-sample] then mlm/mrc ----
+            trajs, use_aug, heads, elevs, end_idxs = [], [], [], [], []
+            txt_exs, mrc_rand = [], []
+            for it in items:
+                evt = self._sample_evt(rng, task, end_vp_pos_ratio)
+                aug = self.aug_features is not None and rng.random() < 0.5
+                use_aug.append(aug)
+                g = self.graphs[it["scan"]]
+                gt_path = it["path_local"]
+                end_vp = self.sample_end(it, evt, objnav=False)
+                end_idx = gt_path.index(end_vp) if end_vp in gt_path else None
+                if end_idx is not None:
+                    traj = gt_path[:end_idx + 1]
+                else:
+                    traj = [gt_path[0]] + g.shortest_path(gt_path[0], end_vp)
+                if len(traj) > max_T:
+                    traj = traj[:max_T] + [end_vp]
+                trajs.append(traj)
+                end_idxs.append(end_idx)
+                h, e = self._cur_angle(g, traj, it.get("heading", 0.0))
+                heads.append(h)
+                elevs.append(e)
+                # text (+ MLM mutation draws, same order as add_mlm)
+                enc = list(it["instr_encoding"])[:sh.max_txt_len]
+                txt_ids = np.zeros((sh.max_txt_len,), np.int64)
+                txt_ids[:len(enc)] = enc
+                txt_masks = np.zeros((sh.max_txt_len,), bool)
+                txt_masks[:len(enc)] = True
+                ex = {"txt_ids": txt_ids, "txt_masks": txt_masks}
+                if task == "mlm":
+                    ex = self.add_mlm(ex)
+                txt_exs.append(ex)
+                if task == "mrc":
+                    mrc_rand.append(rng.random(Lp))
+
+            # ---- stage 2: flat pano packing over all steps of all
+            # examples at once ----
+            T = np.asarray([len(t) for t in trajs], np.int64)
+            cap = sh.max_steps
+            if self.step_bucket:
+                cap = min(sh.max_steps,
+                          -(-int(T.max()) // self.step_bucket)
+                          * self.step_bucket)
+            S = int(T.sum())
+            ex_of = np.repeat(np.arange(B), T)
+            st_of = np.concatenate([np.arange(t) for t in T])
+            row = ex_of * cap + st_of
+            offs = np.asarray([self.offsets[it["scan"]] for it in items],
+                              np.int64)
+            gvp = offs[ex_of] + np.concatenate(
+                [np.asarray(t, np.int64) for t in trajs])
+
+            ua = np.asarray(use_aug, bool)[ex_of]
+            if self.aug_features is not None and ua.any():
+                f_flat = np.empty((S, 36, Df), np.float32)
+                f_flat[ua] = self.aug_features[gvp[ua]]
+                f_flat[~ua] = self.features[gvp[~ua]]
+            else:
+                f_flat = self.features[gvp]
+
+            cm = cm_cat[gvp]                               # [S, Kg]
+            ptid = np.where(cm, ptid_cat[gvp], 0).astype(np.int64)
+            cand_img = np.take_along_axis(f_flat, ptid[:, :, None], axis=1)
+
+            view_img = np.zeros((B * cap, Lp, Df), np.float32)
+            loc_fts = np.zeros((B * cap, Lp, A + 3), np.float32)
+            nav_types = np.zeros((B * cap, Lp), np.int32)
+            view_masks = np.zeros((B * cap, Lp), bool)
+
+            view_img[row, :Kg] = np.where(cm[:, :, None], cand_img, 0.0)
+            ch = ch_cat[gvp]
+            ce = ce_cat[gvp]
+            if self.correct_heading:
+                hb = np.asarray(heads, np.float32)[ex_of, None]
+                eb = np.asarray(elevs, np.float32)[ex_of, None]
+                ch, ce = ch - hb, ce - eb
+            ang = G.angle_feature_np(ch, ce, A)            # [S, Kg, A]
+            loc_fts[row, :Kg, :A] = np.where(cm[:, :, None], ang, 0.0)
+            loc_fts[row, :Kg, A:A + 3] = cm[:, :, None]
+            nav_types[row, :Kg] = cm
+            view_masks[row, :Kg] = cm
+
+            used = np.zeros((S, 36), bool)
+            np.put_along_axis(used, ptid, cm, axis=1)
+            unused = ~used
+            view_img[row, K:K + 36] = f_flat * unused[:, :, None]
+            loc_fts[row, K:K + 36, :A] = self._rel12_ang * unused[:, :, None]
+            loc_fts[row, K:K + 36, A:A + 3] = unused[:, :, None]
+            view_masks[row, K:K + 36] = unused
+
+            step_masks = np.arange(cap)[None, :] < T[:, None]
+
+            # ---- stage 3: gmap bookkeeping (python dicts, per example —
+            # small) + ONE flat geometry call for every position feature ----
+            ncand = cm.sum(1)
+            gmap_step_ids = np.zeros((B, Gm), np.int32)
+            gmap_visited = np.zeros((B, Gm), bool)
+            gmap_visited_step = np.full((B, Gm), -1, np.int32)
+            gmap_masks = np.zeros((B, Gm), bool)
+            gmap_pos = np.zeros((B, Gm, A + 3), np.float32)
+            pair = np.zeros((B, Gm, Gm), np.float32)
+            cand_to_gmap = np.full((B, cap, K), -1, np.int32)
+            vp_pos = np.zeros((B, L, 2 * (A + 3)), np.float32)
+            local_to_gmap = np.full((B, L), -1, np.int32)
+            global_act = np.zeros((B,), np.int32)
+            local_act = np.zeros((B,), np.int32)
+
+            stop_ang = G.angle_feature_np(0.0, 0.0, A)
+            # flat geometry request: (example, kind, dest-slot) per target
+            fl_cur, fl_tgt, fl_bh, fl_be = [], [], [], []
+            fl_dist, fl_hops = [], []
+            fl_dst = []            # (which array, b, slot)
+            srow = np.concatenate([[0], np.cumsum(T)])
+            for b, it in enumerate(items):
+                g = self.graphs[it["scan"]]
+                traj = trajs[b]
+                Tb = len(traj)
+                cls_b = cl_cat[gvp[srow[b]:srow[b + 1]]]
+                ncs_b = ncand[srow[b]:srow[b + 1]]
+                cand_lists = [cls_b[t, :ncs_b[t]].tolist()
+                              for t in range(Tb)]
+                visited_step: Dict[int, int] = {}
+                unvisited: Dict[int, bool] = {}
+                for t, vp in enumerate(traj):
+                    visited_step[vp] = t
+                    unvisited.pop(vp, None)
+                    for w in cand_lists[t]:
+                        if w not in visited_step:
+                            unvisited[w] = True
+                gmap_vps = [None] + list(visited_step.keys()) \
+                    + list(unvisited.keys())
+                if len(gmap_vps) > Gm:
+                    gmap_vps = gmap_vps[:Gm]
+                ng = len(gmap_vps)
+                gmap_slot = {vp: i for i, vp in enumerate(gmap_vps)
+                             if vp is not None}
+                for vp, t in visited_step.items():
+                    if vp in gmap_slot:
+                        i = gmap_slot[vp]
+                        gmap_step_ids[b, i] = t + 1
+                        gmap_visited[b, i] = True
+                        gmap_visited_step[b, i] = t
+                gmap_masks[b, :ng] = True
+                cur = traj[-1]
+                h, e = heads[b], elevs[b]
+                real_vps = [v for v in gmap_vps if v is not None]
+                gmap_pos[b, 0, :A] = stop_ang
+                dr = g.dist[cur]
+                hr = g.hops[cur]
+                for i, v in enumerate(real_vps):
+                    fl_cur.append(offs[b] + cur)
+                    fl_tgt.append(offs[b] + v)
+                    fl_bh.append(h)
+                    fl_be.append(e)
+                    fl_dist.append(dr[v])
+                    fl_hops.append(hr[v])
+                    fl_dst.append((0, b, 1 + i))
+                rv = np.asarray(real_vps, np.int64)
+                if len(rv):
+                    pair[b, 1:ng, 1:ng] = g.dist[np.ix_(rv, rv)]
+                for t in range(Tb):
+                    for k, w in enumerate(cand_lists[t]):
+                        if w not in visited_step and w in gmap_slot:
+                            cand_to_gmap[b, t, k] = gmap_slot[w]
+                # local branch: start feature broadcast + last-step cands
+                start = traj[0]
+                fl_cur.append(offs[b] + cur)
+                fl_tgt.append(offs[b] + start)
+                fl_bh.append(h)
+                fl_be.append(e)
+                fl_dist.append(dr[start])
+                fl_hops.append(hr[start])
+                fl_dst.append((1, b, 0))
+                last_cands = cand_lists[-1]
+                for k, w in enumerate(last_cands):
+                    fl_cur.append(offs[b] + cur)
+                    fl_tgt.append(offs[b] + w)
+                    fl_bh.append(h)
+                    fl_be.append(e)
+                    fl_dist.append(dr[w])
+                    fl_hops.append(hr[w])
+                    fl_dst.append((2, b, 1 + k))
+                    if w in gmap_slot:
+                        local_to_gmap[b, 1 + k] = gmap_slot[w]
+                # act labels (dataset.py:616-632)
+                goal = it["path_local"][-1]
+                if cur == goal:
+                    gl = ll = 0
+                else:
+                    gl = ll = -100
+                    ei = end_idxs[b]
+                    if ei is not None and ei + 1 < len(it["path_local"]):
+                        nxt = it["path_local"][ei + 1]
+                    else:
+                        nh = g.nexthop[cur, goal]
+                        nxt = int(nh) if nh >= 0 else None
+                    if nxt is not None:
+                        if nxt in gmap_slot:
+                            gl = gmap_slot[nxt]
+                            if gmap_visited[b, gl]:
+                                gl = -100
+                        if nxt in last_cands:
+                            ll = last_cands.index(nxt) + 1
+                global_act[b] = gl
+                local_act[b] = ll
+
+            if fl_tgt:
+                cur_g = np.asarray(fl_cur, np.int64)
+                tgt_g = np.asarray(fl_tgt, np.int64)
+                hh, ee, dd = G.rel_heading_elevation_np(
+                    pos_cat[cur_g], pos_cat[tgt_g],
+                    np.asarray(fl_bh, np.float64),
+                    np.asarray(fl_be, np.float64))
+                aflat = G.angle_feature_np(hh, ee, A)      # [M, A]
+                feat7 = np.concatenate([
+                    aflat,
+                    (dd / G.MAX_DIST)[:, None],
+                    (np.asarray(fl_dist, np.float32) / G.MAX_DIST)[:, None],
+                    (np.asarray(fl_hops, np.float32) / G.MAX_STEP)[:, None],
+                ], 1).astype(np.float32)
+                kind = np.asarray([d[0] for d in fl_dst])
+                db = np.asarray([d[1] for d in fl_dst])
+                ds = np.asarray([d[2] for d in fl_dst])
+                m0 = kind == 0
+                gmap_pos[db[m0], ds[m0]] = feat7[m0]
+                m1 = kind == 1                 # start: broadcast to all L
+                vp_pos[db[m1], :, :A + 3] = feat7[m1][:, None, :]
+                m2 = kind == 2
+                vp_pos[db[m2], ds[m2], A + 3:] = feat7[m2]
+            # examples whose m1 row was missing (never happens: every
+            # example emits exactly one start row) keep zeros
+
+            out = dict(
+                end_vp=np.asarray([t[-1] for t in trajs], np.int32),
+                scan_idx=np.asarray(
+                    [self.scan_index[it["scan"]] for it in items], np.int32),
+                txt_ids=np.stack(
+                    [e["txt_ids"] for e in txt_exs]).astype(np.int32),
+                txt_masks=np.stack([e["txt_masks"] for e in txt_exs]),
+                traj_view_img_fts=view_img.reshape(B, cap, Lp, Df),
+                traj_loc_fts=loc_fts.reshape(B, cap, Lp, A + 3),
+                traj_nav_types=nav_types.reshape(B, cap, Lp),
+                traj_view_masks=view_masks.reshape(B, cap, Lp),
+                step_masks=step_masks, traj_len=T.astype(np.int32),
+                gmap_step_ids=gmap_step_ids, gmap_pos_fts=gmap_pos,
+                gmap_masks=gmap_masks, gmap_pair_dists=pair,
+                gmap_visited_masks=gmap_visited,
+                gmap_visited_step=gmap_visited_step,
+                cand_to_gmap=cand_to_gmap,
+                vp_pos_fts=vp_pos, local_to_gmap=local_to_gmap,
+                global_act_labels=global_act, local_act_labels=local_act,
+            )
+            if task == "mlm":
+                out["mlm_pos"] = np.stack([e["mlm_pos"] for e in txt_exs])
+                out["mlm_tgt"] = np.stack([e["mlm_tgt"] for e in txt_exs])
+            elif task == "mrc":
+                vi4 = out["traj_view_img_fts"]
+                mrc_masks = np.zeros((B, Lp), bool)
+                mrc_tgt = np.zeros((B, Lp, sh.mrc_prob_dim), np.float32)
+                for b, it in enumerate(items):
+                    t = int(T[b]) - 1
+                    vm = out["traj_view_masks"][b, t]
+                    mask = (mrc_rand[b] < self.mrc_prob) & vm
+                    if not mask.any():
+                        mask[int(np.argmax(vm))] = True
+                    vi4[b, t][mask] = 0.0
+                    g = self.graphs[it["scan"]]
+                    end_vp = trajs[b][-1]
+                    # _probs' synthetic fallback reads the per-example
+                    # EnvEdit alternation through _feat
+                    self._use_aug_now = use_aug[b]
+                    probs = self._probs(it["scan"], end_vp)
+                    n_cand = int(g.cand_mask[end_vp].sum())
+                    for k in range(n_cand):
+                        mrc_tgt[b, k] = probs[int(g.cand_ptid[end_vp, k])]
+                    mrc_tgt[b, K:K + 36] = probs
+                    mrc_masks[b] = mask
+                out["mrc_masks"] = mrc_masks
+                out["mrc_targets"] = mrc_tgt
+        finally:
+            self.rng = old_rng
+
         for k, v in self.zdicts.items():
             v = np.asarray(v, np.float32)
             if v.ndim == 1:
