@@ -77,6 +77,12 @@ def parse_args(argv=None):
     p.add_argument("--max_objects", type=int, default=20)
     p.add_argument("--max_txt_len", type=int, default=80)
     p.add_argument("--max_gmap", type=int, default=64)
+    p.add_argument("--num_workers", type=int, default=0,
+                   help="batch-builder worker processes (reference "
+                        "build_dataloader(num_workers), loader.py:127-164). "
+                        "0 = single background prefetch thread.  The batch "
+                        "stream is identical for any value (each batch is "
+                        "a pure function of (seed, task, step)).")
     args = p.parse_args(argv)
     # JSON overlay where CLI wins (parser.py:144-155): only fill values the
     # user left at their defaults
@@ -219,6 +225,43 @@ def build(args):
     return dict(cfg=cfg, model=model, builder=builder, items=items)
 
 
+def make_batch_np(builder, pool_items, B: int, seed: int,
+                  split: str, task: str, step: int):
+    """Build one batch as numpy, as a PURE function of
+    (seed, split, task, step): item selection and every stochastic choice
+    inside the builder derive from one rng keyed on the tuple.  Same
+    batches on rerun, on every host (MetaLoader broadcast analogue), and
+    from any worker process.  crc32, not hash() — python string hashing
+    is salted per process."""
+    import zlib
+
+    rng = np.random.default_rng(
+        (seed, zlib.crc32(split.encode()), zlib.crc32(task.encode()), step))
+    chunk = [pool_items[i] for i in rng.integers(0, len(pool_items), B)]
+    return builder.build_batch(chunk, task, rng=rng)
+
+
+def _pool_init(spec):
+    """Worker-side state: rebuild the TrajBatchBuilder on shared-memory
+    feature views (numpy only — workers never touch jax)."""
+    from ..data.worker_pool import resolve_tree
+    from .data import TrajBatchBuilder
+
+    arrs = resolve_tree(spec["arrays"])
+    builder = TrajBatchBuilder(
+        spec["graphs"], spec["order"], arrs["features"], spec["shapes"],
+        view_probs=arrs["view_probs"], aug_features=arrs["aug_features"],
+        objects=arrs["objects"], **spec["kw"])
+    return dict(builder=builder, items=spec["items"], B=spec["B"],
+                seed=spec["seed"])
+
+
+def _pool_build(state, desc):
+    split, task, step = desc
+    return make_batch_np(state["builder"], state["items"][split],
+                         state["B"], state["seed"], split, task, step)
+
+
 def train(args):
     import jax
     import jax.numpy as jnp
@@ -242,19 +285,9 @@ def train(args):
         args.mix_ratio = list(args.mix_ratio) + \
             [1] * (len(args.tasks) - len(args.mix_ratio))
 
-    import zlib
-
     def sample_batch(split, task, step=0):
-        # deterministic selection keyed on (seed, split, task, step): same
-        # batches on rerun and on every host (MetaLoader broadcast
-        # analogue).  crc32, not hash() — python string hashing is salted
-        # per process.
-        rng = np.random.default_rng(
-            (args.seed, zlib.crc32(split.encode()),
-             zlib.crc32(task.encode()), step))
-        pool = items[split]
-        chunk = [pool[i] for i in rng.integers(0, len(pool), B)]
-        return jax.tree.map(jnp.asarray, builder.build_batch(chunk, task))
+        return jax.tree.map(jnp.asarray, make_batch_np(
+            builder, items[split], B, args.seed, split, task, step))
 
     init_batches = {t: sample_batch("train", t) for t in args.tasks}
     params = init_pretrain_params(model, jax.random.PRNGKey(args.seed),
@@ -292,20 +325,55 @@ def train(args):
     meters = {t: RunningMeter(t) for t in args.tasks}
     best_facc = -1.0
 
-    # overlap host batch assembly with device steps (PrefetchLoader
-    # analogue, loader.py:90 — profiled: the python batch builder, not the
-    # device step, is the pretrain throughput ceiling on this one-core host)
-    from ..data.prefetch import PrefetchIterator
+    # overlap host batch assembly with device steps: a worker-process pool
+    # when --num_workers > 0 (build_dataloader analogue, loader.py:127-164)
+    # or a single background prefetch thread (PrefetchLoader analogue,
+    # loader.py:90).  Identical batch streams either way — every batch is
+    # a pure function of (seed, task, step).
+    pool = None
+    shm_owners = []
+    if args.num_workers > 0:
+        from ..data.worker_pool import BatchWorkerPool, share_tree
+        from functools import partial
 
-    step_iter = iter(range(args.num_train_steps))
+        arrays, shm_owners = share_tree(dict(
+            features=builder.features, aug_features=builder.aug_features,
+            view_probs=builder.view_probs, objects=builder.objects))
+        spec = dict(
+            arrays=arrays, graphs=builder.graphs, order=builder.scan_order,
+            shapes=builder.sh, items={"train": items["train"]}, B=B,
+            seed=args.seed,
+            kw=dict(vocab_size=builder.vocab_size, objnav=builder.objnav,
+                    angle_feat_size=builder.afs,
+                    correct_heading=builder.correct_heading,
+                    mask_token_id=builder.mask_token_id,
+                    mlm_prob=builder.mlm_prob, mrc_prob=builder.mrc_prob,
+                    zdicts=builder.zdicts or None,
+                    obj_prob_logits=builder.obj_prob_logits))
+        pool = BatchWorkerPool(partial(_pool_init, spec), _pool_build,
+                               num_workers=args.num_workers)
 
-    def produce():
-        s = next(step_iter)              # StopIteration ends the stream
-        t = sampler.task_at(s)
-        return s, t, sample_batch("train", t, s)
+        def stream():
+            descs = ((("train", sampler.task_at(s), s))
+                     for s in range(args.num_train_steps))
+            for (split, t, s), nb in pool.imap(descs):
+                yield s, t, jax.tree.map(jnp.asarray, nb)
+
+        batch_iter = stream()
+    else:
+        from ..data.prefetch import PrefetchIterator
+
+        step_iter = iter(range(args.num_train_steps))
+
+        def produce():
+            s = next(step_iter)          # StopIteration ends the stream
+            t = sampler.task_at(s)
+            return s, t, sample_batch("train", t, s)
+
+        batch_iter = PrefetchIterator(produce, depth=2)
 
     t0 = time.time()
-    for step, task, batch in PrefetchIterator(produce, depth=2):
+    for step, task, batch in batch_iter:
         if mesh is not None:
             from ..parallel.mesh import shard_batch
 
@@ -347,6 +415,10 @@ def train(args):
                     args.output_dir, f"ckpt_best_{step+1}")), state.params)
                 write_to_record_file(f"  best facc {facc:.4f} @ {step+1}",
                                      record)
+    if pool is not None:
+        pool.close()
+    for h in shm_owners:
+        h.unlink()
     return state
 
 
