@@ -75,12 +75,20 @@ class TimedVLNBert:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--B", type=int, default=12)
+    ap.add_argument("--dataset", default="r2r",
+                    choices=["r2r", "rxr", "reverie"])
+    ap.add_argument("--B", type=int, default=None,
+                    help="default: the dataset's recipe batch (r2r/reverie "
+                         "12, rxr 5)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--layers", type=str, default="6,2,3",
-                    help="num_l,num_pano,num_x (R2R recipe: 6,2,3)")
+                    help="num_l,num_pano,num_x (recipe: 6,2,3)")
     a = ap.parse_args()
     nl, npano, nx = (int(x) for x in a.layers.split(","))
+    # recipe batch sizes: run_r2r_goat.sh:38 / run_reverie_goat.sh:41 /
+    # run_rxr_goat.sh:37
+    if a.B is None:
+        a.B = 5 if a.dataset == "rxr" else 12
 
     scans = [make_synthetic_scan(f"s{i}", num_vps=120, degree=4, seed=i)
              for i in range(4)]
@@ -88,19 +96,36 @@ def main():
     vtot = sum(g.num_vps for g in scans)
     features = np.random.default_rng(0).standard_normal(
         (vtot, 36, 768)).astype(np.float32)
+    # rxr paths are longer and deliberately non-shortest; its recipe also
+    # reads 250-token instructions (run_rxr_goat.sh:30-37)
+    plen = (8, 14) if a.dataset == "rxr" else (4, 7)
+    ilen = 250 if a.dataset == "rxr" else 60
     data = make_synthetic_dataset(graphs, 256, vocab_size=50265,
-                                  path_len=(4, 7), seed=1)
+                                  path_len=plen, seed=1, max_instr_len=ilen)
     for i, it in enumerate(data):
         it["path_id"] = i
 
     tmp = tempfile.mkdtemp(prefix="ref_bench_")
-    # recipe flags (scripts/run_r2r_goat.sh): dagger, ml_weight .2,
-    # feat_dropout .5, dropout .1 (the parity harness forces 0; restore)
-    agent, env, args = OH.build_ref_stack(
-        graphs, features, data, tmp, batch_size=a.B,
-        num_l_layers=nl, num_pano_layers=npano, num_x_layers=nx,
-        dropout=0.1, feat_dropout=0.5, train_alg="dagger", ml_weight=0.2,
-        lr=2e-5)
+    # recipe flags (scripts/run_{r2r,reverie,rxr}_goat.sh): dagger,
+    # ml_weight .2, dropout .1 (the parity harness forces 0; restore)
+    if a.dataset == "reverie":
+        for it in data:
+            it["objId"] = f"{graphs[it['scan']].index[it['path'][-1]]}_0"
+        agent, env, args, _ = OH.build_ref_reverie_stack(
+            graphs, features, data, tmp, batch_size=a.B,
+            num_l_layers=nl, num_pano_layers=npano, num_x_layers=nx,
+            dropout=0.1, feat_dropout=0.6, train_alg="dagger",
+            ml_weight=0.2, lr=2e-5, max_objects=20)
+    else:
+        kw = {}
+        if a.dataset == "rxr":
+            kw = dict(dataset="rxr", expert_policy="ndtw",
+                      max_action_len=28, max_instr_len=250)
+        agent, env, args = OH.build_ref_stack(
+            graphs, features, data, tmp, batch_size=a.B,
+            num_l_layers=nl, num_pano_layers=npano, num_x_layers=nx,
+            dropout=0.1, feat_dropout=0.5, train_alg="dagger",
+            ml_weight=0.2, lr=2e-5, **kw)
     agent.vln_bert = TimedVLNBert(agent.vln_bert)
 
     timings = []
@@ -134,7 +159,8 @@ def main():
 
     arr = np.array(timings)
     total, fwd, bwd, host = arr.mean(axis=0)
-    print("\n=== reference DAgger iteration (CPU torch, this host) ===")
+    print(f"\n=== reference {a.dataset} DAgger iteration "
+          f"(CPU torch, this host) ===")
     print(f"B={a.B} layers={nl}/{npano}/{nx} iters={len(timings)}")
     print(f"total {total:.2f}s  model_fwd {fwd:.2f}s  bwd+opt {bwd:.2f}s  "
           f"host_loop {host:.2f}s")

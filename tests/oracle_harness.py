@@ -452,6 +452,117 @@ def flatten_ref_traj(traj: dict) -> List[str]:
     return sum(traj["path"], [])
 
 
+class StubObjDB:
+    """reverie.data_utils.ObjectFeatureDB stand-in: deterministic synthetic
+    objects per viewpoint (feature rows, absolute directions, bbox sizes,
+    object ids, category numbers) — same call surface as the reference
+    (reverie/data_utils.py:80-104)."""
+
+    def __init__(self, graphs, scan_order: List[str], obj_feat_size=768,
+                 n_objs: int = 8, seed: int = 7):
+        self.store = {}
+        rng = np.random.default_rng(seed)
+        for s in scan_order:
+            g = graphs[s]
+            for v in range(g.num_vps):
+                n = int(rng.integers(1, n_objs + 1))
+                fts = rng.standard_normal((n, obj_feat_size)).astype(
+                    np.float32)
+                dirs = np.stack([rng.uniform(-np.pi, np.pi, n),
+                                 rng.uniform(-0.6, 0.6, n)], 1)
+                sizes = rng.integers(20, 300, (n, 2))
+                ids = [f"{v}_{k}" for k in range(n)]
+                names = rng.integers(0, 45, n).tolist()
+                self.store[(s, g.vp_ids[v])] = (fts, dirs, sizes, ids, names)
+
+    def get_object_feature(self, scan, viewpoint, base_heading,
+                           base_elevation, angle_feat_size,
+                           max_objects=None):
+        from utils.data import angle_feature
+
+        fts, dirs, sizes, ids, names = self.store[(scan, viewpoint)]
+        if max_objects is not None:
+            fts, dirs, sizes = fts[:max_objects], dirs[:max_objects], \
+                sizes[:max_objects]
+            ids, names = ids[:max_objects], names[:max_objects]
+        ang = np.zeros((len(fts), angle_feat_size), np.float32)
+        box = np.zeros((len(fts), 3), np.float32)
+        for k in range(len(fts)):
+            ang[k] = angle_feature(dirs[k, 0] - base_heading,
+                                   dirs[k, 1] - base_elevation,
+                                   angle_feat_size)
+            w, h = sizes[k]
+            box[k, :2] = [h / 480, w / 640]
+            box[k, 2] = box[k, 0] * box[k, 1]
+        return fts, ang, box, list(ids), list(names)
+
+
+def make_reverie_ref_args(tmp: str, feat_dim: int = 768, **overrides):
+    """reverie/parser.py twin of make_ref_args."""
+    argv = ["prog", "--mode", "train", "--root_dir", tmp, "--output_dir",
+            os.path.join(tmp, "out"), "--tokenizer", "roberta",
+            "--dropout", "0", "--feat_dropout", "0", "--seed", "0",
+            # the reverie parser resolves feature paths through hardcoded
+            # maps (reverie/parser.py:180-196); pick keys that exist
+            "--features", "clip768", "--obj_features", "vitbase"]
+    old_argv = sys.argv
+    try:
+        sys.argv = argv
+        from reverie.parser import parse_args
+
+        args = parse_args()  # runs postprocess_args internally (:171)
+    finally:
+        sys.argv = old_argv
+    args.feature_size = args.image_feat_size = feat_dim
+    for k, v in overrides.items():
+        setattr(args, k, v)
+    return args
+
+
+def build_ref_reverie_stack(graphs, features: np.ndarray,
+                            instr_data: List[dict], tmp: str,
+                            batch_size: int = 12, feat_dim: int = 768,
+                            obj_feat_size: int = 768, max_objects: int = 20,
+                            **arg_overrides):
+    """Reference REVERIE stack (ReverieObjectNavBatch +
+    GMapObjectNavAgent, reverie/main_nav_obj.py:191-260) on synthetic
+    data.  instr_data items must carry 'objId'; obj2vps maps each to its
+    goal viewpoint.  Returns (agent, env, args, obj_db)."""
+    install_fake_mattersim(graphs)
+    write_roberta_config(tmp)
+    conn_dir = os.path.join(tmp, "connectivity")
+    write_connectivity(graphs, conn_dir)
+
+    args = make_reverie_ref_args(
+        tmp, feat_dim=feat_dim, obj_feat_size=obj_feat_size,
+        max_objects=max_objects, **arg_overrides)
+    scan_order = sorted(graphs)
+    feat_db = StubFeatDB(graphs, scan_order, features)
+    obj_db = StubObjDB(graphs, scan_order, obj_feat_size=obj_feat_size)
+    obj2vps = {}
+    for it in instr_data:
+        if "objId" in it:
+            obj2vps.setdefault(f"{it['scan']}_{it['objId']}", []).append(
+                it["path"][-1])
+
+    cwd = os.getcwd()
+    os.chdir(tmp)
+    try:
+        from reverie.env import ReverieObjectNavBatch
+        from reverie.agent_obj_goat import GMapObjectNavAgent
+
+        env = ReverieObjectNavBatch(
+            feat_db, obj_db, instr_data, conn_dir, obj2vps,
+            batch_size=batch_size, angle_feat_size=args.angle_feat_size,
+            max_objects=max_objects, seed=0, name="oracle", args=args)
+        env.env.sims = _SimList(env.env.sims)
+        agent = GMapObjectNavAgent(args, env, rank=0)
+        _reinit_model(agent.vln_bert.vln_bert)
+    finally:
+        os.chdir(cwd)
+    return agent, env, args, obj_db
+
+
 def build_ref_stack(graphs, features: np.ndarray, instr_data: List[dict],
                     tmp: str, batch_size: int = 8, feat_dim: int = 768,
                     **arg_overrides):

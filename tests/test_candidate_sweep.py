@@ -20,6 +20,8 @@ import pytest
 
 REF = "/root/reference/map_nav_src"
 
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from vln_goat_tpu.core import geometry as G

@@ -17,8 +17,8 @@ import pytest
 torch = pytest.importorskip("torch")
 
 REF = "/root/reference/pretrain_src"
-pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
-                                reason="reference repo not mounted")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference repo not mounted")]
 
 import jax
 import jax.numpy as jnp

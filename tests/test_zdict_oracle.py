@@ -20,8 +20,8 @@ import pytest
 torch = pytest.importorskip("torch")
 
 REF = "/root/reference/map_nav_src"
-pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
-                                reason="reference repo not mounted")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference repo not mounted")]
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
