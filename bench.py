@@ -1,21 +1,20 @@
-"""Throughput benchmarks at R2R scale.  Prints TWO JSON lines:
+"""Throughput benchmarks at production scale.  Prints one JSON line per
+metric; the LAST line is the BASELINE.json north-star metric (R2R DAgger
+fine-tune episodes/sec/chip), so line-parsers record the primary metric.
 
-1. greedy-decode rollout episodes/sec/chip (secondary);
-2. DAgger fine-tune episodes/sec/chip (the BASELINE.json north-star
-   metric) — LAST, so line-parsers record the primary metric.
-
-Baseline anchors (BASELINE.md "Measured baseline" section; measured with
+Baseline anchors (BASELINE.md "Measured baseline" sections; measured with
 scripts/bench_reference.py driving the UNMODIFIED reference stack on a
-fake MatterSim):
-- fine-tune: one reference DAgger iteration at B=12 spends 0.47s in the
-  host loop (candidate sweep, numpy packing, GraphMap bookkeeping) and
-  ~44.5s in CPU model compute.  On the authors' single GPU the compute
-  shrinks but the host loop does not, so eps/s <= 12/0.47 = 25.5.  We use
-  REF_TRAIN_EPS = 25.5 (the reference's zero-compute-time ceiling — every
-  vs_baseline number is therefore a LOWER bound on the true speedup).
-- decode: the same host-loop bound applies to test-mode rollouts (the
-  loop is identical minus backward); greedy decode runs ~1 rollout per
-  iteration instead of 2, so the ceiling is 2x the train bound.
+fake MatterSim, per dataset):
+- fine-tune: one reference DAgger iteration spends `host_s` in the python
+  host loop (candidate sweep, numpy packing, GraphMap bookkeeping) that
+  does NOT shrink on the authors' GPU rig, so eps/s <= B/host_s.  We use
+  that zero-compute-time ceiling as the anchor — every vs_baseline number
+  is therefore a LOWER bound on the true speedup.
+  R2R: 12/0.47 = 25.5.  REVERIE: 12/0.61 = 19.5.  RxR: 5/0.61 = 8.2.
+- decode: same host loop minus backward, ~1 rollout per iteration instead
+  of 2 -> ceiling is 2x the train bound.
+- pretrain: B/host_time ceilings per task (BASELINE.md round-3 table):
+  MLM 394.9 / SAP 985.2 / CFP 270.4 ex/s.
 """
 import json
 import os
@@ -34,14 +33,28 @@ jax.config.update("jax_default_prng_impl",
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
-REF_TRAIN_EPS = 25.5   # measured host-loop ceiling (B/host_s), see above
-REF_DECODE_EPS = 51.0  # one rollout per iteration instead of two
+# measured-best rollout-scan unroll (r4 on-chip A/B: unroll=2 beats 1 for
+# every remat policy; ROADMAP round-4 table).  Explicit env wins.
+os.environ.setdefault("GOAT_SCAN_UNROLL", "2")
+
+REF = {
+    "r2r": dict(train=25.5, decode=51.0),
+    "reverie": dict(train=19.5, decode=39.0),
+    "rxr": dict(train=8.2, decode=16.4),
+}
+REF_TRAIN_EPS = REF["r2r"]["train"]
+REF_DECODE_EPS = REF["r2r"]["decode"]
+REF_PRETRAIN = {"mlm": 394.9, "sap": 985.2, "cfp": 270.4}
+
+LO = 20  # REVERIE objects per viewpoint (run_reverie_goat.sh:44 max 20)
 
 
-def build(B, bf16=True, real_shapes=False):
-    """real_shapes=True uses R2R val_unseen-like shapes (200-token
-    instructions, gt paths 5-10) instead of the synthetic-average 60/4-7 —
-    quantifying the shape-realism gap the synthetic headline hides."""
+def build(B, dataset="r2r", bf16=True, real_shapes=False):
+    """Production-scale synthetic rig per dataset.  real_shapes=True uses
+    R2R val_unseen-like shapes (200-token instructions, gt paths 5-10)
+    instead of the synthetic-average 60/4-7 — quantifying the shape-realism
+    gap the synthetic headline hides."""
+    import numpy as np
     import jax.numpy as jnp
 
     from vln_goat_tpu.config import GoatConfig
@@ -53,32 +66,65 @@ def build(B, bf16=True, real_shapes=False):
     from vln_goat_tpu.train.params import init_goat_params
 
     cfg = GoatConfig.for_dataset(
-        "r2r",
+        dataset,
         use_pallas_attention=os.environ.get("GOAT_PALLAS", "0") == "1")
-    rcfg = RolloutConfig(num_nodes=48, horizon=15, feat_dim=768)
     # Matterport-like scale: 4 scans x 120 viewpoints
     scans = [make_synthetic_scan(f"s{i}", num_vps=120, degree=4, seed=i)
              for i in range(4)]
-    world = NavWorld.build(scans, feat_dim=768, seed=0)
+    objects = None
+    max_obj = 0
+    if dataset == "reverie":
+        vtot = sum(g.num_vps for g in scans)
+        rng = np.random.default_rng(3)
+        objects = dict(
+            feat=rng.standard_normal((vtot, LO, 768)).astype(np.float32),
+            loc=rng.standard_normal((vtot, LO, 7)).astype(np.float32),
+            dir=rng.uniform(-np.pi, np.pi, (vtot, LO, 2)).astype(np.float32),
+            mask=np.ones((vtot, LO), bool),
+            name=rng.integers(0, 45, (vtot, LO)),
+            oid=np.arange(vtot * LO).reshape(vtot, LO),
+        )
+        max_obj = LO
+    world = NavWorld.build(scans, feat_dim=768, objects=objects, seed=0)
+    if dataset == "rxr":
+        rcfg = RolloutConfig(num_nodes=96, horizon=28, feat_dim=768,
+                             expert_policy="ndtw", overflow_policy="spill")
+        instr_len, plen, gt_cap = 250, (8, 14), 15
+    else:
+        rcfg = RolloutConfig(num_nodes=48, horizon=15, feat_dim=768)
+        instr_len, plen, gt_cap = (200, (5, 10), 11) if real_shapes \
+            else (60, (4, 7), 8)
     model = GoatModel(cfg, dtype=jnp.bfloat16 if bf16 else jnp.float32)
     params = init_goat_params(model, jax.random.PRNGKey(0), max_cands=16,
-                              num_nodes=rcfg.num_nodes)
+                              num_nodes=rcfg.num_nodes, max_obj=max_obj)
     ro = NavRollout(model, world, rcfg)
     graphs = {g.scan_id: g for g in scans}
-    instr_len, plen, gt_cap = (200, (5, 10), 11) if real_shapes \
-        else (60, (4, 7), 8)
     data = make_synthetic_dataset(graphs, 512, vocab_size=cfg.vocab_size,
                                   path_len=plen, seed=1,
                                   max_instr_len=instr_len)
     batcher = EpisodeBatcher(data, graphs, [g.scan_id for g in scans],
                              batch_size=B, max_instr_len=instr_len,
                              max_gt_len=gt_cap)
+    if dataset == "reverie":
+        # OG supervision: gt object slot at the goal viewpoint (local-branch
+        # token offset cls+cands+36 views, cli.causal_batch)
+        off = 2 + world.max_cands + 36
+        rng = np.random.default_rng(4)
+        orig = batcher.make_batch
+
+        def make_batch_obj(items):
+            b = dict(orig(items))
+            b["gt_obj_slot"] = jnp.asarray(
+                off + rng.integers(0, LO, len(items)).astype(np.int32))
+            return b
+
+        batcher.make_batch = make_batch_obj
     return model, params, ro, batcher
 
 
-def bench_decode(B=None):
+def bench_decode(B=None, dataset="r2r"):
     B = B or int(os.environ.get("GOAT_BENCH_B", "128"))
-    _, params, ro, batcher = build(B)
+    _, params, ro, batcher = build(B, dataset=dataset)
     batcher.batch_size = B
     fn = ro.jitted(feedback="argmax", train_ml=False)
     _, batch = batcher.next_batch()
@@ -100,25 +146,24 @@ def bench_decode(B=None):
     return B * iters / dt
 
 
-def bench_train(B=None, real_shapes=False):
+def bench_train(B=None, dataset="r2r", real_shapes=False):
     """DAgger optimizer step (teacher rollout at the short gt-bounded
     horizon + sampled rollout at the full horizon + backward + AdamW;
     GOAT_BENCH_ALG=dagger_fused benches the single-scan variant).
     Episodes/sec counted as B per iteration — the reference's it/s * batch
     convention (one iteration consumes B teacher + B sample episodes on
     both sides)."""
-    import jax.numpy as jnp  # noqa: F401
-
     from vln_goat_tpu.train import trainer as TR
 
     B = B or int(os.environ.get("GOAT_BENCH_TRAIN_B", "64"))
-    _, params, ro, batcher = build(B, real_shapes=real_shapes)
+    _, params, ro, batcher = build(B, dataset=dataset,
+                                   real_shapes=real_shapes)
     tx = TR.make_optimizer(lr=2e-5)
     state = TR.init_train_state(params, tx)
     alg = os.environ.get("GOAT_BENCH_ALG", "dagger")
     step = jax.jit(TR.make_train_step(
         ro, tx, train_alg=alg, ml_weight=0.2,
-        remat=os.environ.get("GOAT_BENCH_REMAT", "full"),
+        remat=os.environ.get("GOAT_BENCH_REMAT", "model"),
         # A/B lever: 0 restores the per-step scan teacher
         vectorized_teacher=os.environ.get("GOAT_VEC_TEACHER", "1") == "1",
         # teacher scan at the batcher's gt cap is loss-identical
@@ -162,31 +207,8 @@ def bench_rxr_overflow(B=32, episodes=256):
     measure node-table pressure — spill events per episode (policy 'spill')
     and dropped candidates (must be 0 with spill).  Sampled feedback at
     random params wanders maximally: a worst-case bound for the table."""
-    import jax.numpy as jnp
-
-    from vln_goat_tpu.config import GoatConfig
-    from vln_goat_tpu.models.goat import GoatModel
-    from vln_goat_tpu.rollout.env import EpisodeBatcher, make_synthetic_dataset
-    from vln_goat_tpu.rollout.rollout import NavRollout, RolloutConfig
-    from vln_goat_tpu.rollout.world import NavWorld
-    from vln_goat_tpu.sim.graph_sim import make_synthetic_scan
-    from vln_goat_tpu.train.params import init_goat_params
-
-    cfg = GoatConfig.for_dataset("rxr")
-    rcfg = RolloutConfig(num_nodes=96, horizon=28, feat_dim=768,
-                         expert_policy="ndtw", overflow_policy="spill")
-    scans = [make_synthetic_scan(f"x{i}", num_vps=120, degree=4, seed=i)
-             for i in range(4)]
-    world = NavWorld.build(scans, feat_dim=768, seed=0)
-    model = GoatModel(cfg, dtype=jnp.bfloat16)
-    params = init_goat_params(model, jax.random.PRNGKey(0), max_cands=16,
-                              num_nodes=rcfg.num_nodes)
-    ro = NavRollout(model, world, rcfg)
-    graphs = {g.scan_id: g for g in scans}
-    data = make_synthetic_dataset(graphs, episodes, vocab_size=cfg.vocab_size,
-                                  path_len=(8, 14), seed=2)
-    batcher = EpisodeBatcher(data, graphs, [g.scan_id for g in scans],
-                             batch_size=B, max_instr_len=120, max_gt_len=15)
+    _, params, ro, batcher = build(B, dataset="rxr")
+    batcher.batch_size = B
     fn = ro.jitted(feedback="sample", train_ml=False, deterministic=True)
     rng = jax.random.PRNGKey(0)
     tot_spill = tot_drop = n = 0
@@ -197,6 +219,85 @@ def bench_rxr_overflow(B=32, episodes=256):
         tot_drop += int(jax.device_get(out["overflow_n"]).sum())
         n += B
     return tot_spill / n, tot_drop / n
+
+
+def bench_pretrain(tasks=("mlm", "sap", "cfp"), B=48, iters=30,
+                   num_workers=6):
+    """END-TO-END pretrain steady state: the real batch stream (multi-
+    process BatchWorkerPool, shared-memory feature tables — the reference
+    build_dataloader(num_workers) analogue) feeding each task's jitted
+    train step.  ex/s includes host batch building, unlike the device-only
+    numbers in BASELINE.md's round-3 table.  B=48 = the reference pretrain
+    recipe batch (r2r_GOAT_pretrain.json:7)."""
+    from functools import partial
+
+    import jax.numpy as jnp
+
+    from vln_goat_tpu.config import PretrainConfig
+    from vln_goat_tpu.data.worker_pool import BatchWorkerPool, share_tree
+    from vln_goat_tpu.pretrain.cli import (_pool_build, _pool_init, build,
+                                           parse_args)
+    from vln_goat_tpu.pretrain.train import (PretrainState,
+                                             init_pretrain_params,
+                                             make_pretrain_optimizer,
+                                             make_pretrain_steps)
+
+    pargs = parse_args(["--synthetic", "--dataset", "r2r",
+                        "--tasks", *tasks, "--train_batch_size", str(B)])
+    rt = build(pargs)
+    model, builder, items = rt["model"], rt["builder"], rt["items"]
+    batches = {t: jax.tree.map(
+        jnp.asarray, builder.build_batch(items["train"][:B], t))
+        for t in tasks}
+    params = init_pretrain_params(model, jax.random.PRNGKey(0), batches)
+    pcfg = PretrainConfig(tasks=tuple(tasks), mix_ratio=(1,) * len(tasks),
+                          train_batch_size=B)
+    tx = make_pretrain_optimizer(pcfg)
+    steps = make_pretrain_steps(model, tx, list(tasks))
+    state0 = PretrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+    arrays, shm_owners = share_tree(dict(
+        features=builder.features, aug_features=builder.aug_features,
+        view_probs=builder.view_probs, objects=builder.objects))
+    spec = dict(arrays=arrays, graphs=builder.graphs,
+                order=builder.scan_order, shapes=builder.sh,
+                items={"train": items["train"]}, B=B, seed=0,
+                kw=dict(vocab_size=builder.vocab_size, objnav=builder.objnav,
+                        angle_feat_size=builder.afs,
+                        correct_heading=builder.correct_heading,
+                        mask_token_id=builder.mask_token_id,
+                        mlm_prob=builder.mlm_prob, mrc_prob=builder.mrc_prob,
+                        zdicts=builder.zdicts or None,
+                        obj_prob_logits=builder.obj_prob_logits))
+    pool = BatchWorkerPool(partial(_pool_init, spec), _pool_build,
+                           num_workers=num_workers)
+    out = {}
+    try:
+        for t in tasks:
+            state = state0
+            # warmup: compile + fill the pool pipeline
+            state, m = steps[t](state, batches[t], jax.random.PRNGKey(0))
+            jax.block_until_ready(m["loss"])
+            it = pool.imap((("train", t, s) for s in range(iters + 4)))
+            for _ in range(2):  # pipeline warm
+                _, nb = next(it)
+                state, m = steps[t](state, jax.tree.map(jnp.asarray, nb),
+                                    jax.random.PRNGKey(1))
+            jax.block_until_ready(m["loss"])
+            t0 = time.perf_counter()
+            for i in range(iters):
+                _, nb = next(it)
+                state, m = steps[t](state, jax.tree.map(jnp.asarray, nb),
+                                    jax.random.PRNGKey(i))
+            jax.block_until_ready(m["loss"])
+            float(m["loss"])  # fetch guard
+            out[t] = B * iters / (time.perf_counter() - t0)
+    finally:
+        pool.close()
+        for h in shm_owners:
+            h.close()
+            h.unlink()
+    return out
 
 
 def main():
@@ -217,6 +318,44 @@ def main():
                 "policy evicts farthest unvisited (reference GraphMap is "
                 "unbounded)",
     }), flush=True)
+    # per-dataset fine-tune + decode (VERDICT r3 item 3): REVERIE carries
+    # 20 object tokens + the OG head; RxR runs horizon 28, 250-token
+    # instructions, 96-node table, nDTW expert
+    for ds, trB, decB in (("reverie", 64, 128), ("rxr", 32, 64)):
+        try:
+            tr, _ = bench_train(B=trB, dataset=ds)
+            dec = bench_decode(B=decB, dataset=ds)
+            print(json.dumps({
+                "metric": f"{ds}_dagger_finetune_episodes_per_sec_per_chip",
+                "value": round(tr, 2),
+                "unit": "episodes/s",
+                "vs_baseline": round(tr / REF[ds]["train"], 2),
+                "decode_eps_per_sec": round(dec, 2),
+                "decode_vs_baseline": round(dec / REF[ds]["decode"], 2),
+            }), flush=True)
+        except Exception as e:  # noqa: BLE001 — publish the failure loudly
+            print(json.dumps({
+                "metric": f"{ds}_dagger_finetune_episodes_per_sec_per_chip",
+                "value": None,
+                "error": f"{type(e).__name__}: {str(e)[:200]}",
+            }), flush=True)
+    # end-to-end pretrain steady state vs the reference per-task ceilings
+    try:
+        pre = bench_pretrain()
+        for t, eps in pre.items():
+            print(json.dumps({
+                "metric": f"pretrain_{t}_examples_per_sec_end_to_end",
+                "value": round(eps, 1),
+                "unit": "examples/s",
+                "vs_baseline": round(eps / REF_PRETRAIN[t], 2),
+                "note": "includes host batch building (worker pool); "
+                        "baseline = reference zero-compute GPU ceiling",
+            }), flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"metric": "pretrain_examples_per_sec_end_to_end",
+                          "value": None,
+                          "error": f"{type(e).__name__}: {str(e)[:200]}"}),
+              flush=True)
     real, _ = bench_train(real_shapes=True)
     print(json.dumps({
         "metric": "r2r_dagger_finetune_eps_per_sec_real_shapes",
@@ -226,26 +365,9 @@ def main():
         "note": "val_unseen-like shapes: 200-token instructions, gt 5-10 "
                 "(the headline line uses synthetic-average 60-token/4-7)",
     }), flush=True)
-    # headline: best of the known-good 'full' remat and the round-3
-    # 'probs' policy (saved softmax outputs + dropout masks — skips their
-    # backward recompute; loss/grad-identical, tests/test_fused_dagger.py).
-    # 'probs' is guarded: it could not be A/B'd on-chip in-session (TPU
-    # tunnel outage), so an OOM/compile failure falls back cleanly.
-    base_policy = os.environ.get("GOAT_BENCH_REMAT", "full")
+    # headline LAST: R2R DAgger fine-tune at the measured-best config
+    # (remat='model', scan unroll 2 — r4 on-chip A/B, ROADMAP)
     train, util = bench_train()
-    policy = base_policy
-    if base_policy != "probs":
-        try:
-            os.environ["GOAT_BENCH_REMAT"] = "probs"
-            t2, u2 = bench_train()
-            if t2 > train:
-                train, util, policy = t2, u2, "probs"
-        except Exception as e:  # noqa: BLE001 — OOM/compile -> base policy
-            print(json.dumps({"note": "remat=probs bench failed",
-                              "error": f"{type(e).__name__}: "
-                                       f"{str(e)[:160]}"}), flush=True)
-        finally:
-            os.environ["GOAT_BENCH_REMAT"] = base_policy
     line = {
         "metric": "r2r_dagger_finetune_episodes_per_sec_per_chip",
         "value": round(train, 2),
@@ -253,7 +375,8 @@ def main():
         "vs_baseline": round(train / REF_TRAIN_EPS, 2),
         "decode_eps_per_sec": round(decode, 2),
         "decode_vs_baseline": round(decode / REF_DECODE_EPS, 2),
-        "remat_policy": policy,
+        "remat_policy": os.environ.get("GOAT_BENCH_REMAT", "model"),
+        "scan_unroll": int(os.environ["GOAT_SCAN_UNROLL"]),
     }
     if util is not None:
         # XLA cost_analysis flops / step time / v5e bf16 peak; the step is

@@ -18,6 +18,10 @@ from vln_goat_tpu.speaker.model import SpeakerConfig
 from vln_goat_tpu.speaker.speaker import Speaker
 from vln_goat_tpu.train.params import init_goat_params
 
+# multi-10s full-scale runs: slow tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
+
 TINY = GoatConfig(num_l_layers=1, num_x_layers=1, num_pano_layers=1,
                   hidden_size=32, num_attention_heads=2, intermediate_size=64,
                   vocab_size=64, max_position_embeddings=64,

@@ -26,6 +26,7 @@ COMMON = ["--num_l_layers", "1", "--num_pano_layers", "1",
           "--train_alg", "imitation", "--lr", "1e-4"]
 
 
+@pytest.mark.slow
 def test_cli_train_and_valid(tmp_path, monkeypatch):
     _tiny(monkeypatch)
     from vln_goat_tpu import cli
@@ -43,6 +44,7 @@ def test_cli_train_and_valid(tmp_path, monkeypatch):
     assert subs and "trajectory" in subs[0]
 
 
+@pytest.mark.slow
 def test_cli_aug_backtranslation_and_resume(tmp_path, monkeypatch):
     """Aug interleave + speaker back-translation wiring
     (main_nav.py:220-252, agent.py:459-474) and kill-and-resume: a run
@@ -84,6 +86,7 @@ def test_cli_aug_backtranslation_and_resume(tmp_path, monkeypatch):
                                    err_msg=jax.tree_util.keystr(path))
 
 
+@pytest.mark.slow
 def test_cli_resume_continues_iteration(tmp_path, monkeypatch):
     """--resume_file on a full train-state dir continues the iteration
     counter and reproduces the uninterrupted loss trajectory

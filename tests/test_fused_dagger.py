@@ -142,6 +142,7 @@ def test_train_step_dagger_fused(tiny):
     assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("remat", ["bounds", "ffn", "dots", "model",
                                    "probs", "wide"])
 def test_remat_policies_loss_identical(tiny, remat):
@@ -170,6 +171,7 @@ def test_remat_policies_loss_identical(tiny, remat):
     np.testing.assert_allclose(g_pol, g_full, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_remat_probs_identical_under_dropout(tiny):
     """remat='probs' saves the dropout keep masks instead of regenerating
     them in the backward — with dropout ACTIVE the loss and gradients must
@@ -218,6 +220,7 @@ def test_remat_probs_identical_under_dropout(tiny):
     np.testing.assert_allclose(g_pr, g_full, rtol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("remat", ["probs", "wide"])
 def test_train_step_probs_policy_matches_full(tiny, remat):
     """The full DAgger train step under remat='probs'/'wide' (which also

@@ -21,6 +21,10 @@ from vln_goat_tpu.rollout.world import NavWorld
 from vln_goat_tpu.sim.graph_sim import make_synthetic_scan
 from vln_goat_tpu.train.params import init_goat_params
 
+# multi-10s full-scale runs: slow tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def setup():

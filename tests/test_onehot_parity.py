@@ -22,6 +22,10 @@ from vln_goat_tpu.sim.graph_sim import make_synthetic_scan
 from vln_goat_tpu.train import trainer as TR
 from vln_goat_tpu.train.params import init_goat_params
 
+# multi-10s full-scale runs: slow tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
+
 
 def _build(dataset="r2r", num_vps=30, num_nodes=24, horizon=6, **rkw):
     cfg = GoatConfig.for_dataset(dataset)

@@ -46,6 +46,7 @@ def setup():
                 batches=batches)
 
 
+@pytest.mark.slow
 def test_task_losses_finite(setup):
     s = setup
     ev = make_eval_steps(s["model"], TASKS)
@@ -54,6 +55,7 @@ def test_task_losses_finite(setup):
         assert np.isfinite(float(m["loss"])), t
 
 
+@pytest.mark.slow
 def test_sap_labels_valid(setup):
     b = setup["batches"]["sap"]
     gl = np.asarray(b["global_act_labels"])
@@ -64,6 +66,7 @@ def test_sap_labels_valid(setup):
         assert gm[i, lab]
 
 
+@pytest.mark.slow
 def test_pretrain_steps_reduce_loss(setup):
     s = setup
     cfg = PretrainConfig(learning_rate=3e-3, warmup_steps=0,

@@ -62,6 +62,7 @@ def _leaves(tree, prefix=()):
             yield "/".join(prefix + (k,)), np.asarray(v)
 
 
+@pytest.mark.slow
 def test_reference_pt_roundtrip_init(rig, tmp_path):
     """flax params -> reference pretrain .pt -> --init_from restores every
     leaf exactly (the VERDICT-mandated wiring test)."""
@@ -87,6 +88,7 @@ def test_reference_pt_roundtrip_init(rig, tmp_path):
         np.testing.assert_array_equal(got[k], want[k], err_msg=k)
 
 
+@pytest.mark.slow
 def test_meter_surgery(rig, tmp_path):
     """METER-format keys land in embeddings/lang_encoder and BOTH cross
     encoders (train_r2r_goat.py:154-172)."""

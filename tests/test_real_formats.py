@@ -19,6 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from vln_goat_tpu.sim.graph_sim import dump_scanvp_cands, make_synthetic_scan
 
+# multi-10s full-scale runs: slow tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
+
 DF = 16
 
 

@@ -14,6 +14,10 @@ import jax.numpy as jnp
 from vln_goat_tpu.config import GoatConfig
 from vln_goat_tpu.data.annotations import construct_instrs
 
+# multi-10s full-scale runs: slow tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
+
 
 def _write_soon_jsonl(tmp_path):
     items = [

@@ -119,3 +119,48 @@ def test_make_blip_vqa_missing_weights_message():
 
     with pytest.raises(RuntimeError, match="BLIP"):
         make_blip_vqa("/nonexistent/blip-vqa-base")
+
+
+# ---------------------------------------------------------------------------
+# multi-process room-type extraction driver (extract_room_type.py:109-156)
+
+def _fake_render():
+    def render(scan, vp, ix):
+        # deterministic per (scan, vp, view): encodes ix in the pixel value
+        return np.full((4, 4, 3), ix, np.uint8)
+    return render
+
+
+def _fake_vqa():
+    def vqa(image, question):
+        assert question  # the driver must pass the prompt through
+        return f"room{int(image[0, 0, 0]) % 3}"
+    return vqa
+
+
+def test_room_type_pool_and_resume(tmp_path):
+    from vln_goat_tpu.tools.do_utils import (extract_room_types_pooled,
+                                             load_room_types)
+
+    scan_vps = [(f"s{i % 2}", f"vp{i}") for i in range(10)]
+    out = str(tmp_path / "pano_roomtypes.tsv")
+    n = extract_room_types_pooled(scan_vps, _fake_vqa, _fake_render, out,
+                                  num_workers=3, batch_size=8)
+    assert n == 10
+    got = load_room_types(out)
+    assert set(got) == set(scan_vps)
+    # 36 answers per viewpoint, view ix encoded through render->vqa
+    for answers in got.values():
+        assert len(answers) == 36
+        assert answers[:4] == ["room0", "room1", "room2", "room0"]
+
+    # resume: a second run with 4 extra viewpoints only processes those
+    more = scan_vps + [("s9", f"new{i}") for i in range(4)]
+    n2 = extract_room_types_pooled(more, _fake_vqa, _fake_render, out,
+                                   num_workers=2, batch_size=8)
+    assert n2 == 4
+    got2 = load_room_types(out)
+    assert set(got2) == set(more)
+    # fully-resumed run is a no-op
+    assert extract_room_types_pooled(more, _fake_vqa, _fake_render, out,
+                                     num_workers=2) == 0

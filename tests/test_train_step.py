@@ -66,6 +66,7 @@ def test_dagger_step_runs_and_has_grads(setup):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_train_step_on_8_device_mesh(setup):
     """Data-parallel over the virtual 8-CPU mesh: batch sharded on 'dp',
     params replicated; result must match metric finiteness and run."""

@@ -21,6 +21,10 @@ from vln_goat_tpu.rollout.world import NavWorld
 from vln_goat_tpu.sim.graph_sim import make_synthetic_scan
 from vln_goat_tpu.train.params import init_goat_params
 
+# multi-10s full-scale runs: slow tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
+
 
 def _mk(num_nodes=12, horizon=6, n_eps=12, batch_size=4, seed=0):
     cfg = GoatConfig(num_l_layers=1, num_x_layers=1, num_pano_layers=1,

@@ -101,11 +101,6 @@ class AttentionCore(nn.Module):
         qp = _ProjWeights(d, self.dtype, name="query")
         kp = _ProjWeights(d, self.dtype, name="key")
         vp = _ProjWeights(d, self.dtype, name="value")
-        if weights_only:
-            wq, bq = qp(q_in, weights_only=True)
-            wk, bk = kp(kv_in, weights_only=True)
-            wv, bv = vp(kv_in, weights_only=True)
-            return wq, bq, wk, bk, wv, bv
         if kv_only:
             # K/V cache precompute: the cross-attended text is constant
             # across rollout steps, so its per-layer key/value projections
@@ -172,18 +167,15 @@ class AttentionCore(nn.Module):
 
 class _LNWeights(nn.Module):
     """nn.LayerNorm-compatible (same param tree {scale, bias}, f32 stats,
-    fast variance) that can also hand out its raw weights for the fused
-    Pallas attention block."""
+    fast variance)."""
 
     epsilon: float
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, weights_only: bool = False):
+    def __call__(self, x):
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
-        if weights_only:
-            return scale, bias
         x32 = x.astype(jnp.float32)
         mu = jnp.mean(x32, axis=-1, keepdims=True)
         var = jnp.maximum(
@@ -197,15 +189,10 @@ class BertSelfOutput(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, residual, deterministic=True,
-                 weights_only=False):
+    def __call__(self, hidden, residual, deterministic=True):
         c = self.config
         dense = _ProjWeights(c.hidden_size, self.dtype, name="dense")
         ln = _LNWeights(c.layer_norm_eps, self.dtype, name="LayerNorm")
-        if weights_only:
-            wo, bo = dense(hidden, weights_only=True)
-            gamma, beta = ln(hidden, weights_only=True)
-            return wo, bo, gamma, beta
         h = dense(hidden)
         h = named_dropout(self, h, c.hidden_dropout_prob, deterministic)
         h = ln(h + residual)
@@ -229,61 +216,13 @@ class BertAttention(nn.Module):
                 c.num_attention_heads, c.head_dim,
                 c.attention_probs_dropout_prob, self.dtype,
                 name="self")(kv_in, kv_in, kv_only=True)
-        # fully fused sublayer (ops/attention.pallas_fused_attn_block):
-        # attention + out-proj + dropout + residual + LayerNorm in one
-        # kernel — the elementwise tail between matmuls is where the
-        # profiled step spends ~3x the MXU time.  Same Lq gate as the
-        # attention-only kernel; GOAT_PALLAS_BLOCK=0 falls back to it.
-        min_lq = int(os.environ.get("GOAT_PALLAS_MIN_LQ", "32"))
-        use_block = (getattr(c, "use_pallas_attention", False)
-                     and os.environ.get("GOAT_PALLAS_BLOCK", "1") == "1"
-                     and os.environ.get("GOAT_PALLAS_ATTN", "1") == "1"
-                     and kv_cache is None
-                     and hidden.shape[1] >= min_lq)
-        if use_block:
-            from ..ops.attention import _default_interpret, \
-                pallas_fused_attn_block
-
-            needs_drop = not deterministic and (
-                c.attention_probs_dropout_prob > 0.0
-                or c.hidden_dropout_prob > 0.0)
-            if not needs_drop or not _default_interpret():
-                core = AttentionCore(
-                    c.num_attention_heads,
-                    c.hidden_size // c.num_attention_heads,
-                    c.attention_probs_dropout_prob, self.dtype,
-                    use_pallas=True, name="self")
-                wq, bq, wk, bk, wv, bv = core(hidden, kv_in,
-                                              weights_only=True)
-                out_mod = BertSelfOutput(c, self.dtype, name="output")
-                wo, bo, gamma, beta = out_mod(hidden, hidden,
-                                              weights_only=True)
-                adrop = hdrop = 0.0
-                seed = None
-                if needs_drop:
-                    adrop = c.attention_probs_dropout_prob
-                    hdrop = c.hidden_dropout_prob
-                    seed = jax.random.randint(
-                        self.make_rng("dropout"), (hidden.shape[0],),
-                        0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
-                h = pallas_fused_attn_block(
-                    hidden.astype(self.dtype), kv_in.astype(self.dtype),
-                    wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta, bias,
-                    num_heads=c.num_attention_heads, attn_dropout=adrop,
-                    hidden_dropout=hdrop, ln_eps=c.layer_norm_eps,
-                    seed=seed)
-                return _ckpt_name(h, "blk")
-        return self._unfused(hidden, kv_in, bias, deterministic, kv_cache)
-
-    def _unfused(self, hidden, kv, bias, deterministic, kv_cache=None):
-        c = self.config
-        kv = hidden if kv is None else kv
         ctx = AttentionCore(
             c.num_attention_heads, c.head_dim,
             c.attention_probs_dropout_prob, self.dtype,
             use_pallas=getattr(c, "use_pallas_attention", False), name="self",
-        )(hidden, kv, bias, deterministic, kv_cache=kv_cache)
-        return BertSelfOutput(c, self.dtype, name="output")(ctx, hidden, deterministic)
+        )(hidden, kv_in, bias, deterministic, kv_cache=kv_cache)
+        return BertSelfOutput(c, self.dtype, name="output")(
+            ctx, hidden, deterministic)
 
 
 class BertIntermediate(nn.Module):
@@ -291,11 +230,9 @@ class BertIntermediate(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, weights_only=False):
+    def __call__(self, hidden):
         c = self.config
         dense = _ProjWeights(c.intermediate_size, self.dtype, name="dense")
-        if weights_only:
-            return dense(hidden, weights_only=True)
         h = dense(hidden)
         # named so remat='ffn' (rollout.build_rollout) can exclude the
         # 4x-wide tensors from the saved set and recompute only these
@@ -309,17 +246,10 @@ class BertOutput(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, residual, deterministic=True,
-                 weights_only=False):
+    def __call__(self, hidden, residual, deterministic=True):
         c = self.config
         dense = _ProjWeights(c.hidden_size, self.dtype, name="dense")
         ln = _LNWeights(c.layer_norm_eps, self.dtype, name="LayerNorm")
-        if weights_only:
-            # dense probes with `hidden` (intermediate width), the LN with
-            # `residual` (hidden width)
-            w2, b2 = dense(hidden, weights_only=True)
-            gamma, beta = ln(residual, weights_only=True)
-            return w2, b2, gamma, beta
         h = dense(hidden)
         h = named_dropout(self, h, c.hidden_dropout_prob, deterministic)
         h = ln(h + residual)
@@ -328,37 +258,9 @@ class BertOutput(nn.Module):
 
 
 def _ffn_sublayer(parent, c, dtype, h, deterministic):
-    """FFN sublayer shared by BertLayer/BertCrossLayer: fused Pallas
-    kernel (attention-block conditions) or the unfused XLA path."""
+    """FFN sublayer shared by BertLayer/BertCrossLayer."""
     inter = BertIntermediate(c, dtype, name="intermediate")
     out_mod = BertOutput(c, dtype, name="output")
-    min_lq = int(os.environ.get("GOAT_PALLAS_MIN_LQ", "32"))
-    use_block = (getattr(c, "use_pallas_attention", False)
-                 and os.environ.get("GOAT_PALLAS_BLOCK", "1") == "1"
-                 and os.environ.get("GOAT_PALLAS_FFN", "1") == "1"
-                 and h.shape[1] >= min_lq and c.hidden_act == "gelu")
-    if use_block:
-        from ..ops.attention import _default_interpret, \
-            pallas_fused_ffn_block
-
-        needs_drop = not deterministic and c.hidden_dropout_prob > 0.0
-        if not needs_drop or not _default_interpret():
-            w1, b1 = inter(h, weights_only=True)
-            # BertOutput's dense maps intermediate_size -> hidden; the
-            # weights_only probe must carry the intermediate width
-            probe = jnp.zeros((1, c.intermediate_size), h.dtype)
-            w2, b2, gamma, beta = out_mod(probe, h, weights_only=True)
-            hdrop = 0.0
-            seed = None
-            if needs_drop:
-                hdrop = c.hidden_dropout_prob
-                seed = jax.random.randint(
-                    parent.make_rng("dropout"), (h.shape[0],),
-                    0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
-            o = pallas_fused_ffn_block(
-                h.astype(dtype), w1, b1, w2, b2, gamma, beta,
-                hidden_dropout=hdrop, ln_eps=c.layer_norm_eps, seed=seed)
-            return _ckpt_name(o, "blk")
     return out_mod(inter(h), h, deterministic)
 
 

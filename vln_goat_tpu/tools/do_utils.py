@@ -84,6 +84,93 @@ def make_blip_vqa(model_path: str, device: str = "cpu"
     return vqa_fn
 
 
+def _pool_worker(proc_id: int, out_q, scan_vps: Sequence[tuple],
+                 make_vqa_fn, make_render_fn, batch_size: int):
+    """One extraction worker (extract_room_type.process_features,
+    :67-106): builds its own renderer + VQA model (neither is picklable —
+    the factories are), sweeps the 36 discretized views per viewpoint,
+    answers in batches, and streams (scan, vp, answers) rows to the
+    writer.  A trailing None marks worker exit."""
+    vqa_fn = make_vqa_fn()
+    render_fn = make_render_fn()
+    try:
+        for scan, vp in scan_vps:
+            images = [render_fn(scan, vp, ix) for ix in range(36)]
+            answers: List[str] = []
+            for k in range(0, 36, batch_size):
+                # the reference decodes only the first answer per batch
+                # (extract_room_type.py:100-101 decode(outputs[0])) — a
+                # quirk we do NOT reproduce: answer every view
+                answers.extend(vqa_fn(img, VQA_QUESTION)
+                               for img in images[k: k + batch_size])
+            out_q.put((scan, vp, answers))
+    finally:
+        out_q.put(None)
+
+
+def extract_room_types_pooled(scan_vps: Sequence[tuple],
+                              make_vqa_fn: Callable[[], Callable],
+                              make_render_fn: Callable[[], Callable],
+                              out_tsv: str, num_workers: int = 4,
+                              batch_size: int = 8, resume: bool = True,
+                              progress: Optional[Callable[[int], None]] = None
+                              ) -> int:
+    """Multi-process room-type extraction driver
+    (extract_room_type.build_feature_file, :109-156): contiguous chunks of
+    the viewpoint list per worker, a shared result queue, and a single
+    TSV writer in the parent.  Improvements over the reference: `resume`
+    skips viewpoints already present in `out_tsv` (the reference always
+    restarts from scratch), and rows are flushed as they arrive so a
+    killed run loses nothing.  Returns the number of rows written.
+
+    make_vqa_fn/make_render_fn are zero-arg factories evaluated INSIDE
+    each worker (e.g. ``partial(make_blip_vqa, path)``) because the models
+    themselves don't pickle."""
+    import multiprocessing as mp
+    import os
+
+    scan_vps = list(scan_vps)
+    mode = "wt"
+    if resume and os.path.exists(out_tsv):
+        done = set(load_room_types(out_tsv))
+        scan_vps = [sv for sv in scan_vps if tuple(sv) not in done]
+        mode = "at"
+    if not scan_vps:
+        return 0
+    ctx = mp.get_context("spawn")  # jax/torch in the parent: never fork
+    nw = max(1, min(num_workers, len(scan_vps)))
+    per = len(scan_vps) // nw
+    out_q = ctx.Queue()
+    procs = []
+    for p in range(nw):
+        lo = p * per
+        hi = None if p == nw - 1 else lo + per
+        proc = ctx.Process(target=_pool_worker,
+                           args=(p, out_q, scan_vps[lo:hi], make_vqa_fn,
+                                 make_render_fn, batch_size))
+        proc.start()
+        procs.append(proc)
+    written = 0
+    finished = 0
+    with open(out_tsv, mode) as f:
+        w = csv.DictWriter(f, delimiter="\t", fieldnames=ROOMTYPE_TSV_FIELDS)
+        while finished < nw:
+            res = out_q.get()
+            if res is None:
+                finished += 1
+                continue
+            scan, vp, answers = res
+            w.writerow({"scan": scan, "viewpoint": vp,
+                        "roomtypes": ",".join(answers)})
+            f.flush()
+            written += 1
+            if progress is not None:
+                progress(written)
+    for proc in procs:
+        proc.join()
+    return written
+
+
 def load_room_types(tsv_path: str) -> Dict[tuple, List[str]]:
     out = {}
     with open(tsv_path) as f:
