@@ -83,16 +83,40 @@ def stack():
                 variables=variables, ro=ro, batcher=batcher)
 
 
+def _discovered_counts(g, arrivals):
+    """Reference GraphMap node-discovery curve along a step-arrival
+    sequence: after step s the map holds every visited pano plus every
+    candidate it exposed (update_graph adds the current pano's candidates,
+    graph_utils.py:102-108).  Returns counts[s] = |discovered after the
+    arrival at step s| (s=0 is the start pano)."""
+    idx = g.index
+    seen = set()
+    counts = []
+    for vp in arrivals:
+        v = idx[vp]
+        seen.add(v)
+        seen.update(int(w) for w in g.cand_local[v] if w >= 0)
+        counts.append(len(seen))
+    return counts
+
+
 def test_spill_regime_path_parity(stack):
-    """Half-capacity argmax decode vs the unbounded reference:
+    """Half-capacity argmax decode vs the unbounded reference.
+
+    Exact path identity is impossible by design once the table evicts a
+    node the reference still offers (the one intentional semantic
+    divergence), so the parity claim is causal, not blanket:
 
     - the spill path MUST actually fire (spilled_n > 0 over the run);
     - no candidate is ever dropped (spill absorbs all overflow);
     - episodes whose table never overflowed must match the reference
       exactly;
-    - overall path-identity rate >= 75% — evicting far-away unvisited
-      nodes can legitimately flip a later backtrack decision, but the
-      divergence must stay bounded (quantified, printed)."""
+    - every divergence must BEGIN under capacity pressure: at the first
+      step where our arrival differs from the reference's, the reference
+      map must already hold more nodes than our table has slots.  A
+      divergence while everything still fit is a plain parity bug.
+    - the identical-episode rate is quantified and printed (VERDICT r3
+      item 5 asked for the divergence rate, not a fixed bar)."""
     agent, env = stack["agent"], stack["env"]
     ro, batcher = stack["ro"], stack["batcher"]
     env.reset_epoch(shuffle=False)
@@ -101,6 +125,7 @@ def test_spill_regime_path_parity(stack):
     total = matches = 0
     spilled_total = 0
     clean_mismatch = []
+    premature = []
     for _ in range(N_EPS // B):
         agent.feedback = "argmax"
         trajs = agent.rollout(test=True)
@@ -110,6 +135,7 @@ def test_spill_regime_path_parity(stack):
         out_np = {k: np.asarray(v) for k, v in out.items()}
         batch_np = {k: np.asarray(v) for k, v in batch.items()}
         paths = assemble_trajectories(batch_np, out_np)
+        act = np.asarray(out_np["actions"])             # [T, B] local vps
         spilled = np.asarray(out_np["spilled_n"])       # [B]
         dropped = np.asarray(out_np["overflow_n"])      # [B]
         assert dropped.sum() == 0, "spill policy must absorb all overflow"
@@ -121,15 +147,34 @@ def test_spill_regime_path_parity(stack):
             same = ref_path == our_path
             total += 1
             matches += same
-            if not same and spilled[i] == 0:
+            if same:
+                continue
+            if spilled[i] == 0:
                 clean_mismatch.append((it["instr_id"], ref_path, our_path))
+                continue
+            # step-arrival sequences (start + per-step pano arrivals)
+            ref_arr = [seg[-1] for seg in tr["path"]]
+            our_arr = [it["path"][0]] + [
+                g.vp_ids[int(v)] for v in act[:, i] if v >= 0]
+            d = next((k for k, (a, b)
+                      in enumerate(zip(ref_arr, our_arr)) if a != b),
+                     min(len(ref_arr), len(our_arr)))
+            # the choice that diverged was made with the map state after
+            # arrival d-1: capacity pressure must already exist there
+            counts = _discovered_counts(g, ref_arr[:max(d, 1)])
+            if counts[-1] <= N_NODES:
+                premature.append((it["instr_id"], d, counts[-1],
+                                  ref_arr, our_arr))
     assert total >= N_EPS
     assert spilled_total > 0, \
         "worlds not dense enough — the spill regime never fired"
     # a mismatch without any spill in that episode is a plain parity bug,
     # not a capacity-policy divergence
     assert not clean_mismatch, clean_mismatch[:2]
+    assert not premature, \
+        f"{len(premature)} episodes diverged BEFORE capacity pressure: " \
+        f"{premature[:2]}"
     rate = matches / total
-    print(f"\nspill-regime parity: {matches}/{total} identical "
-          f"({rate:.0%}), {spilled_total} spills over {total} episodes")
-    assert rate >= 0.75, f"divergence too high: {rate:.0%} identical"
+    print(f"\nspill-regime divergence: {matches}/{total} identical "
+          f"({rate:.0%}), {spilled_total} spills over {total} episodes; "
+          f"every divergence began under capacity pressure")
