@@ -144,7 +144,8 @@ def test_train_step_dagger_fused(tiny):
 
 @pytest.mark.slow
 @pytest.mark.parametrize("remat", ["bounds", "ffn", "dots", "model",
-                                   "probs", "wide"])
+                                   "probs", "wide", "model_probs",
+                                   "model_wide"])
 def test_remat_policies_loss_identical(tiny, remat):
     """Every remat policy computes the same loss and gradients as
     remat='full' — policies change what is SAVED for the backward, never

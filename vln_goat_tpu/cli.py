@@ -558,7 +558,8 @@ def train(args, rt):
 
     os.makedirs(args.output_dir, exist_ok=True)
     record_file = os.path.join(args.output_dir, "train.log")
-    mlog = MetricsLogger(os.path.join(args.output_dir, "metrics.jsonl"))
+    mlog = MetricsLogger(os.path.join(args.output_dir, "metrics.jsonl"),
+                         tb_dir=os.path.join(args.output_dir, "tb"))
 
     aug_batcher = rt["batchers"].get("aug")
     # --accumulate_grad: one optimizer step per GT+aug group

@@ -276,7 +276,8 @@ def train(args):
 
     os.makedirs(args.output_dir, exist_ok=True)
     record = os.path.join(args.output_dir, "pretrain.log")
-    mlog = MetricsLogger(os.path.join(args.output_dir, "metrics.jsonl"))
+    mlog = MetricsLogger(os.path.join(args.output_dir, "metrics.jsonl"),
+                         tb_dir=os.path.join(args.output_dir, "tb"))
 
     rt = build(args)
     model, builder, items = rt["model"], rt["builder"], rt["items"]

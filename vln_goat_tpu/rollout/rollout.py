@@ -969,7 +969,7 @@ class NavRollout:
         # recomputed.  Saved residuals are the per-step model inputs/outputs
         # (~tens of MB per step at B=64) — far under HBM, unlike
         # remat='none' which also stores model internals.
-        model_ckpt = (remat == "model") and train_ml
+        model_ckpt = remat.startswith("model") and train_ml
 
         def apply(params, rng, method, *args, ckpt=False, **kw):
             kw["deterministic"] = deterministic
@@ -985,7 +985,25 @@ class NavRollout:
                                    rngs={"dropout": rng}, **kw2)
 
             if ckpt and model_ckpt:
-                call = jax.checkpoint(call)
+                # 'model_probs'/'model_wide': per-call checkpoint like
+                # 'model', but ALSO save the named softmax outputs /
+                # dropout keep-masks (/ 4x-wide FFN tensors) inside each
+                # call, so the backward's model recompute skips the
+                # exp/normalize, PRNG mask regeneration (and gelu + the
+                # up-projection matmul) — the bookkeeping primals are
+                # already saved by the call boundary itself.
+                if remat == "model_probs":
+                    call = jax.checkpoint(
+                        call, policy=jax.checkpoint_policies
+                        .save_only_these_names("blk", "attn_probs",
+                                               "drop_mask"))
+                elif remat == "model_wide":
+                    call = jax.checkpoint(
+                        call, policy=jax.checkpoint_policies
+                        .save_only_these_names("blk", "attn_probs",
+                                               "drop_mask", "ffn_wide"))
+                else:
+                    call = jax.checkpoint(call)
             return call(params, rng, args, arr_kw)
 
         def rollout(params, batch, rng, txt=None):
@@ -1374,8 +1392,9 @@ class NavRollout:
                         step, policy=jax.checkpoint_policies
                         .save_only_these_names("blk", "attn_probs",
                                                "drop_mask", "ffn_wide"))
-                elif remat in ("none", "model"):
-                    # 'model': per-call checkpoints already applied inside
+                elif remat in ("none", "model", "model_probs",
+                               "model_wide"):
+                    # 'model*': per-call checkpoints already applied inside
                     # `apply`; the step itself is NOT rematerialized, so all
                     # bookkeeping primals are saved rather than recomputed
                     step_fn = step
@@ -1548,12 +1567,12 @@ class NavRollout:
                                    rngs={"dropout": rng}, **kw2)
 
             if ckpt and model_ckpt:
-                if remat == "probs":
+                if remat in ("probs", "model_probs"):
                     call = jax.checkpoint(
                         call, policy=jax.checkpoint_policies
                         .save_only_these_names("blk", "attn_probs",
                                                "drop_mask"))
-                elif remat == "wide":
+                elif remat in ("wide", "model_wide"):
                     call = jax.checkpoint(
                         call, policy=jax.checkpoint_policies
                         .save_only_these_names("blk", "attn_probs",

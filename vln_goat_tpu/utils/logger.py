@@ -76,25 +76,39 @@ class RunningMeter:
 
 
 class MetricsLogger:
-    """JSON-lines scalar logger (TB_LOGGER equivalent)."""
+    """JSON-lines scalar logger (TB_LOGGER equivalent).  When `tb_dir` is
+    given, every scalar is mirrored into a real TensorBoard events file
+    (utils/tb.py — dependency-free writer), matching the reference's
+    SummaryWriter/TensorboardLogger output
+    (map_nav_src/r2r/main_nav.py:13, pretrain_src/utils/logger.py:27-65)."""
 
-    def __init__(self, path: Optional[str]):
+    def __init__(self, path: Optional[str], tb_dir: Optional[str] = None):
         self.path = path
         self.step = 0
+        self.tb = None
         if path:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        if tb_dir:
+            from .tb import TensorBoardWriter
+            self.tb = TensorBoardWriter(tb_dir)
 
     def set_step(self, step: int):
         self.step = step
 
     def log_scalar_dict(self, scalars: Dict[str, float], prefix: str = ""):
-        if not self.path:
+        if not self.path and not self.tb:
             return
         rec = {"step": self.step}
         for k, v in scalars.items():
             rec[(prefix + "/" + k) if prefix else k] = float(v)
-        with open(self.path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        if self.path:
+            with open(self.path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        if self.tb:
+            for k, v in rec.items():
+                if k != "step":
+                    self.tb.add_scalar(k, v, self.step)
+            self.tb.flush()
 
 
 def start_profiler_trace(log_dir: str):
