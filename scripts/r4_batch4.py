@@ -1,5 +1,6 @@
-"""Round-4 batch 3: model_probs/model_wide inner-policy remat x scan
-unroll, on-chip.  Sequential single process (tunnel discipline)."""
+"""Round-4 batch 4: active-episode compaction A/B on chip.
+GOAT_COMPACT gathers still-active episodes into a prefix at the given
+step boundaries and runs the remaining sample-scan chunks at B/d."""
 import os
 import subprocess
 import sys
@@ -7,18 +8,17 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 CONFIGS = [
-    # (remat, unroll, B)
-    ("model_wide", "2", 64),
-    ("model_probs", "2", 64),
-    ("model", "4", 64),
-    ("model_wide", "4", 64),
+    # (remat, unroll, B, compact)
+    ("model", "2", 64, "6:2,10:4"),
+    ("model", "2", 64, "4:2,8:4"),
+    ("model", "2", 64, "4:2,7:4,10:8"),
 ]
 
 results = {}
-for remat, unroll, B in CONFIGS:
-    tag = f"B={B} remat={remat} unroll={unroll}"
+for remat, unroll, B, compact in CONFIGS:
+    tag = f"B={B} remat={remat} unroll={unroll} compact={compact}"
     print(f"=== {tag} ===", flush=True)
-    env = dict(os.environ, GOAT_SCAN_UNROLL=unroll)
+    env = dict(os.environ, GOAT_SCAN_UNROLL=unroll, GOAT_COMPACT=compact)
     p = subprocess.run(
         [sys.executable, os.path.join(HERE, "bench_train.py"),
          "--alg", "dagger", "--B", str(B), "--remat", remat],

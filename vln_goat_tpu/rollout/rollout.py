@@ -119,6 +119,35 @@ def _scan_unroll() -> int:
     return int(os.environ.get("GOAT_SCAN_UNROLL", "1"))
 
 
+# batch entries that are SHARED banks, not per-episode rows — the
+# active-episode compaction must not gather/slice these
+_COMPACT_SHARED = frozenset({
+    "feat_noise", "img_z_features", "img_z_pzs",
+    "front_txt_feats", "front_vp_feats", "front_gmap_feats",
+})
+
+
+def _compact_spec(compact: Optional[str], horizon: int, B: int):
+    """Parse an active-episode compaction spec "t1:d1,t2:d2" (env fallback
+    GOAT_COMPACT) into [(boundary_step, divisor), ...], keeping only
+    boundaries inside the horizon with divisors that divide B; divisors
+    must be increasing."""
+    spec = compact if compact is not None \
+        else os.environ.get("GOAT_COMPACT", "")
+    out = []
+    last_d = 1
+    for part in str(spec).split(","):
+        part = part.strip()
+        if not part:
+            continue
+        t, d = part.split(":")
+        t, d = int(t), int(d)
+        if 0 < t < horizon and d > last_d and B % d == 0 and B // d >= 1:
+            out.append((t, d))
+            last_d = d
+    return out
+
+
 def _use_onehot() -> bool:
     """One-hot (compare + contraction) replacements for the episodic
     bookkeeping's scalar-granular gathers/scatters (GOAT_ONEHOT, default 1).
@@ -247,6 +276,12 @@ class NavRollout:
             cur=jnp.zeros((B,), jnp.int32),
             view_ix=batch["start_view"].astype(jnp.int32),
             ended=jnp.zeros((B,), bool),
+            # stable per-episode id: sampling keys derive from it so the
+            # draws are invariant to batch position (required for the
+            # active-episode compaction to reproduce full-batch
+            # trajectories; also makes sampled rollouts reproducible
+            # under any batch recomposition)
+            uid=jnp.arange(B, dtype=jnp.int32),
             last_embeds=jnp.zeros((B, D), jnp.float32),
             # candidates dropped because the fixed node table was full
             # (reference GraphMap is unbounded; surfacing this makes the
@@ -930,7 +965,7 @@ class NavRollout:
                       expl_max_ratio: float = 0.6,
                       sample_feedback: str = "sample",
                       remat: str = "full", record_logits: bool = False,
-                      exit_chunk: int = 0):
+                      exit_chunk: int = 0, compact: Optional[str] = None):
         """Returns rollout(params, batch, rng) -> outputs dict.  `feedback`
         in {teacher, sample, argmax, expl_sample, fused_dagger}
         (agent.py:624-647).
@@ -1025,7 +1060,22 @@ class NavRollout:
 
             onehot = _use_onehot()
 
+            # `cur` holds the per-episode tensors the step body reads.
+            # The active-episode compaction path (below) re-traces the scan
+            # body on permuted/sliced views of these at chunk boundaries by
+            # swapping them here before each trace — every row-level
+            # computation in the step is episode-independent, so a step
+            # traced at a smaller batch computes bit-identical per-episode
+            # values.
+            cur = dict(batch=batch, txt_embeds=txt_embeds, txt_kv=txt_kv,
+                       nav_w=nav_w, txt_masks=txt_masks, B0=B)
+
             def step(st, xs):
+                batch = cur["batch"]
+                txt_embeds, txt_kv = cur["txt_embeds"], cur["txt_kv"]
+                nav_w, txt_masks = cur["nav_w"], cur["txt_masks"]
+                B = batch["scan_idx"].shape[0]
+                bidx = jnp.arange(B)
                 t, rng_t = xs
                 rp, rn = jax.random.split(jax.random.fold_in(rng_loop, t), 2)
                 act = ~st["ended"]
@@ -1201,25 +1251,39 @@ class NavRollout:
                     step_loss = jnp.zeros((B,))
 
                 # action selection
+                def uid_rows(salt, shape, sampler):
+                    # draws keyed by EPISODE UID, not batch row: one
+                    # vectorized draw over the full uid space, gathered by
+                    # st['uid'] — invariant to batch position/composition
+                    # (the compaction path reproduces full-batch
+                    # trajectories exactly; shuffled batches resample
+                    # identically).  Per-row vmap(fold_in)+vmap(sample)
+                    # was measured ~40x slower on TPU.
+                    k = jax.random.fold_in(rng_t, salt)
+                    full = sampler(k, (cur["B0"],) + shape)
+                    return full[st["uid"]]
+
                 def select_sample(mode):
                     if mode == "argmax":
                         return jnp.argmax(logits, axis=1).astype(jnp.int32)
+                    G = logits.shape[1]
                     if mode == "sample":
-                        return jax.random.categorical(
-                            jax.random.fold_in(rng_t, 7), logits, axis=1
-                        ).astype(jnp.int32)
+                        # categorical == argmax(logits + gumbel) (the
+                        # same trick jax.random.categorical uses)
+                        g = uid_rows(7, (G,), jax.random.gumbel)
+                        return jnp.argmax(logits + g, axis=1).astype(
+                            jnp.int32)
                     if mode == "expl_sample":
                         # argmax, but with prob (1 - expl_max_ratio) jump to
                         # a uniformly random reachable unvisited node
                         # (agent.py:634-644)
                         am = jnp.argmax(logits, axis=1).astype(jnp.int32)
-                        r1, r2 = jax.random.split(
-                            jax.random.fold_in(rng_t, 11))
-                        explore = jax.random.uniform(r1, (B,)) > expl_max_ratio
+                        explore = uid_rows(11, (), jax.random.uniform) \
+                            > expl_max_ratio
                         ok = jnp.isfinite(logits)
-                        rnd = jax.random.categorical(
-                            r2, jnp.where(ok, 0.0, -jnp.inf), axis=1
-                        ).astype(jnp.int32)
+                        g = uid_rows(13, (G,), jax.random.gumbel)
+                        rnd = jnp.argmax(jnp.where(ok, 0.0, -jnp.inf) + g,
+                                         axis=1).astype(jnp.int32)
                         return jnp.where(explore, rnd, am)
                     raise ValueError(mode)
 
@@ -1332,6 +1396,17 @@ class NavRollout:
                            logits_stop=logits[:, 0].astype(jnp.float32),
                            just_ended=just_ended,
                            loss=step_loss.astype(jnp.float32))
+                if os.environ.get("GOAT_DBG_REC") == "1":
+                    rec["dbg_txt"] = jnp.sum(
+                        txt_embeds.astype(jnp.float32), axis=(1, 2))
+                    rec["dbg_gtlen"] = batch["gt_len"].astype(jnp.int32)
+                    rec["dbg_uid"] = st["uid"]
+                    rec["dbg_pano"] = jnp.sum(
+                        pano_fused.astype(jnp.float32), axis=1)
+                    rec["dbg_gmap"] = jnp.sum(
+                        nav_in["gmap_img_embeds"].astype(jnp.float32),
+                        axis=(1, 2)) if "gmap_img_embeds" in nav_in else \
+                        jnp.zeros((B,))
                 if record_logits:
                     # full fused-logit rows + per-step gmap tables for
                     # oracle parity tests (expert-decision replay)
@@ -1349,83 +1424,191 @@ class NavRollout:
                 # storing activations (HBM is the bottleneck, FLOPs cheap).
                 # remat='dots' keeps matmul outputs (recompute only the
                 # cheap elementwise glue), 'none' stores everything.
-                if remat == "full":
-                    step_fn = jax.checkpoint(step)
-                elif remat == "dots":
-                    step_fn = jax.checkpoint(
-                        step, policy=jax.checkpoint_policies
-                        .dots_with_no_batch_dims_saveable)
-                elif remat == "ffn":
-                    # save every step intermediate EXCEPT the 4x-wide FFN
-                    # tensors (named "ffn_wide" in models/layers.py).
-                    # Measured: still OOMs at B=64 (~41G) — kept for
-                    # small-batch experiments; prefer 'bounds'.
-                    step_fn = jax.checkpoint(
-                        step, policy=jax.checkpoint_policies
-                        .save_anything_except_these_names("ffn_wide"))
-                elif remat == "bounds":
-                    # save ONLY the transformer layer-boundary tensors
-                    # (named "blk": post-LN outputs, [*, 768] — a few MB
-                    # per step) and recompute everything else within the
-                    # layer in the backward: ~60% of the full-remat
-                    # recompute skipped at ~3GB of saved activations
-                    step_fn = jax.checkpoint(
-                        step, policy=jax.checkpoint_policies
-                        .save_only_these_names("blk"))
-                elif remat == "probs":
-                    # 'bounds' + the attention-softmax outputs and the
-                    # dropout keep masks (models/layers.named_dropout):
-                    # the backward then skips the exp/normalize recompute
-                    # and the PRNG mask regeneration — the two largest
-                    # pure-VPU costs of the full-remat backward — while
-                    # the wide FFN tensors are still recomputed
-                    step_fn = jax.checkpoint(
-                        step, policy=jax.checkpoint_policies
-                        .save_only_these_names("blk", "attn_probs",
-                                               "drop_mask"))
-                elif remat == "wide":
-                    # 'probs' + the 4x-wide FFN tensors ("ffn_wide": the
-                    # pre-activation and the erf-gelu output) — the bwd
-                    # skips the erf/exp recompute on the widest tensors
-                    # in the model at ~2GB more saved activations
-                    step_fn = jax.checkpoint(
-                        step, policy=jax.checkpoint_policies
-                        .save_only_these_names("blk", "attn_probs",
-                                               "drop_mask", "ffn_wide"))
-                elif remat in ("none", "model", "model_probs",
-                               "model_wide"):
-                    # 'model*': per-call checkpoints already applied inside
-                    # `apply`; the step itself is NOT rematerialized, so all
-                    # bookkeeping primals are saved rather than recomputed
-                    step_fn = step
-                else:
+                def wrap(fn):
+                    if remat == "full":
+                        return jax.checkpoint(fn)
+                    if remat == "dots":
+                        return jax.checkpoint(
+                            fn, policy=jax.checkpoint_policies
+                            .dots_with_no_batch_dims_saveable)
+                    if remat == "ffn":
+                        # save every step intermediate EXCEPT the 4x-wide
+                        # FFN tensors (named "ffn_wide" in models/layers).
+                        # Measured: still OOMs at B=64 (~41G) — kept for
+                        # small-batch experiments; prefer 'bounds'.
+                        return jax.checkpoint(
+                            fn, policy=jax.checkpoint_policies
+                            .save_anything_except_these_names("ffn_wide"))
+                    if remat == "bounds":
+                        # save ONLY the transformer layer-boundary tensors
+                        # (named "blk": post-LN outputs, [*, 768] — a few
+                        # MB per step), recompute everything else within
+                        # the layer in the backward
+                        return jax.checkpoint(
+                            fn, policy=jax.checkpoint_policies
+                            .save_only_these_names("blk"))
+                    if remat == "probs":
+                        # 'bounds' + attention-softmax outputs and dropout
+                        # keep masks: the backward skips the exp/normalize
+                        # recompute and the PRNG mask regeneration
+                        return jax.checkpoint(
+                            fn, policy=jax.checkpoint_policies
+                            .save_only_these_names("blk", "attn_probs",
+                                                   "drop_mask"))
+                    if remat == "wide":
+                        # 'probs' + the 4x-wide FFN tensors ("ffn_wide")
+                        return jax.checkpoint(
+                            fn, policy=jax.checkpoint_policies
+                            .save_only_these_names("blk", "attn_probs",
+                                                   "drop_mask", "ffn_wide"))
+                    if remat in ("none", "model", "model_probs",
+                                 "model_wide"):
+                        # 'model*': per-call checkpoints already applied
+                        # inside `apply`; the step itself is NOT
+                        # rematerialized, so all bookkeeping primals are
+                        # saved rather than recomputed
+                        return fn
                     raise ValueError(remat)
+
+                step_fn = wrap(step)
                 T = r.horizon
-                if exit_chunk and exit_chunk < T:
+                G = r.num_nodes + 2
+
+                def zero_recs(C, Bz=B):
+                    z = dict(
+                        action_node=jnp.full((C, Bz), -1, jnp.int32),
+                        seg=jnp.full((C, Bz, r.seg_len), -1, jnp.int32),
+                        seg_hops=jnp.zeros((C, Bz)),
+                        target=jnp.full((C, Bz), IGNORE_ID, jnp.int32),
+                        logits_stop=jnp.zeros((C, Bz)),
+                        just_ended=jnp.zeros((C, Bz), bool),
+                        loss=jnp.zeros((C, Bz)),
+                    )
+                    if os.environ.get("GOAT_DBG_REC") == "1":
+                        z["dbg_txt"] = jnp.zeros((C, Bz))
+                        z["dbg_gtlen"] = jnp.zeros((C, Bz), jnp.int32)
+                        z["dbg_uid"] = jnp.full((C, Bz), -1, jnp.int32)
+                        z["dbg_pano"] = jnp.zeros((C, Bz))
+                        z["dbg_gmap"] = jnp.zeros((C, Bz))
+                    if record_logits:
+                        z["logits"] = jnp.full((C, Bz, G), -jnp.inf)
+                        z["active"] = jnp.zeros((C, Bz), bool)
+                        z["node_vp_t"] = jnp.full((C, Bz, r.num_nodes),
+                                                  -1, jnp.int32)
+                        z["visited_t"] = jnp.zeros((C, Bz, r.num_nodes),
+                                                   bool)
+                        z["cur_vp_t"] = jnp.full((C, Bz), -1, jnp.int32)
+                    return z
+
+                # active-episode compaction: by mid-horizon most episodes
+                # have ended (policy stop / goal arrival) yet a plain scan
+                # keeps paying full-B model calls for masked no-ops.  At
+                # each boundary t:d in `compact` ("6:2,10:4"), stable-sort
+                # episodes so actives form a prefix and — when they fit —
+                # run the remaining chunk's scan (fwd AND bwd) at B/d on
+                # that prefix only; the ended tail is carried through
+                # untouched (its true step records ARE the zero defaults).
+                # Per-episode math is row-independent, so the compacted
+                # trace computes identical losses/grads (test_compact.py);
+                # only dropout draws differ (documented randomness-parity
+                # divergence, like the rbg PRNG).  lax.cond falls back to
+                # the full-B scan when actives exceed the slice.
+                cspec = _compact_spec(compact, T, B) if not exit_chunk \
+                    else []
+                if cspec:
+                    # CAUTION: jax.lax.scan caches body traces by the
+                    # FUNCTION OBJECT's identity, so a step that reads
+                    # mutated closure state silently replays the first
+                    # chunk's constants.  Every chunk therefore scans a
+                    # FRESH `make_step(ctx)` closure over an explicit
+                    # per-chunk ctx (verified by tests/test_compact.py).
+                    def make_step(ctx):
+                        def step_ctx(st_c, xs):
+                            saved = dict(cur)
+                            cur.update(ctx)
+                            try:
+                                return step(st_c, xs)
+                            finally:
+                                cur.update(saved)
+                        return step_ctx
+
+                    def slice_ctx(ctx, sel):
+                        out = dict(ctx)
+                        out["batch"] = {
+                            k: (v if k in _COMPACT_SHARED else sel(v))
+                            for k, v in ctx["batch"].items()}
+                        for ck in ("txt_embeds", "txt_kv", "nav_w",
+                                   "txt_masks"):
+                            if ctx[ck] is not None:
+                                out[ck] = jax.tree.map(sel, ctx[ck])
+                        return out
+
+                    ctx_now = dict(cur)
+                    bounds = [0] + [t for t, _ in cspec] + [T]
+                    divs = [1] + [d for _, d in cspec]
+                    perm_now = jnp.arange(B)
+                    permuted = False
+                    chunks = []
+                    for seg_i in range(len(divs)):
+                        a, b = bounds[seg_i], bounds[seg_i + 1]
+                        if a >= b:
+                            continue
+                        xs_c = (jnp.arange(a, b), keys[a:b])
+                        C = b - a
+                        div = divs[seg_i]
+                        if div > 1:
+                            order = jnp.argsort(
+                                st["ended"].astype(jnp.int8), stable=True)
+                            perm_now = perm_now[order]
+                            permuted = True
+                            st = jax.tree.map(lambda x: x[order], st)
+                            ctx_now = slice_ctx(ctx_now,
+                                                lambda x: x[order])
+                            Bc = B // div
+                            n_active = B - jnp.sum(st["ended"])
+                            ctx_small = slice_ctx(ctx_now,
+                                                  lambda x: x[:Bc])
+
+                            def run_small(st_o, xs_c=xs_c, Bc=Bc, C=C,
+                                          ctx_small=ctx_small):
+                                head = jax.tree.map(
+                                    lambda x: x[:Bc], st_o)
+                                head, rc = jax.lax.scan(
+                                    wrap(make_step(ctx_small)), head,
+                                    xs_c, unroll=_scan_unroll())
+                                st2 = jax.tree.map(
+                                    lambda h, f: jnp.concatenate(
+                                        [h, f[Bc:]], axis=0), head, st_o)
+                                rc = jax.tree.map(
+                                    lambda hc, z: jnp.concatenate(
+                                        [hc, z], axis=1),
+                                    rc, zero_recs(C, B - Bc))
+                                return st2, rc
+
+                            def run_full(st_o, xs_c=xs_c,
+                                         ctx_now=ctx_now):
+                                return jax.lax.scan(
+                                    wrap(make_step(ctx_now)), st_o, xs_c,
+                                    unroll=_scan_unroll())
+
+                            st, rc = jax.lax.cond(
+                                n_active <= Bc, run_small, run_full, st)
+                        else:
+                            st, rc = jax.lax.scan(
+                                wrap(make_step(ctx_now)), st, xs_c,
+                                unroll=_scan_unroll())
+                        if permuted:
+                            inv = jnp.argsort(perm_now)
+                            rc = jax.tree.map(lambda x: x[:, inv], rc)
+                        chunks.append(rc)
+                    if permuted:
+                        inv = jnp.argsort(perm_now)
+                        st = jax.tree.map(lambda x: x[inv], st)
+                    recs = jax.tree_util.tree_map(
+                        lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
+                elif exit_chunk and exit_chunk < T:
                     # chunked early exit: skip whole chunks (fwd + bwd)
                     # once every episode in the batch has ended
-                    G = r.num_nodes + 2
-
-                    def zero_recs(C):
-                        z = dict(
-                            action_node=jnp.full((C, B), -1, jnp.int32),
-                            seg=jnp.full((C, B, r.seg_len), -1, jnp.int32),
-                            seg_hops=jnp.zeros((C, B)),
-                            target=jnp.full((C, B), IGNORE_ID, jnp.int32),
-                            logits_stop=jnp.zeros((C, B)),
-                            just_ended=jnp.zeros((C, B), bool),
-                            loss=jnp.zeros((C, B)),
-                        )
-                        if record_logits:
-                            z["logits"] = jnp.full((C, B, G), -jnp.inf)
-                            z["active"] = jnp.zeros((C, B), bool)
-                            z["node_vp_t"] = jnp.full((C, B, r.num_nodes),
-                                                      -1, jnp.int32)
-                            z["visited_t"] = jnp.zeros((C, B, r.num_nodes),
-                                                       bool)
-                            z["cur_vp_t"] = jnp.full((C, B), -1, jnp.int32)
-                        return z
-
                     chunks = []
                     for c0 in range(0, T, exit_chunk):
                         C = min(exit_chunk, T - c0)
@@ -1507,6 +1690,9 @@ class NavRollout:
                 final_cur=st["cur"], n_nodes=st["n_nodes"],
                 overflow_n=st["overflow_n"], spilled_n=st["spilled_n"],
             )
+            for dk in recs:
+                if dk.startswith("dbg_"):
+                    out[dk] = recs[dk]
             if "og_oid" in st:
                 # predicted object id at the chosen stop node
                 out["pred_obj_id"] = st["og_oid"][bidx, best_stop]
@@ -1834,7 +2020,8 @@ class NavRollout:
         # trace-time env flags must key the cache too, or flipping them
         # in-process silently returns a stale trace (ADVICE r3)
         key = (feedback, train_ml, deterministic, sample_feedback, remat,
-               _use_onehot(), _scan_unroll())
+               _use_onehot(), _scan_unroll(),
+               os.environ.get("GOAT_COMPACT", ""))
         if key not in self._jitted:
             self._jitted[key] = jax.jit(
                 self.build_rollout(feedback, train_ml, deterministic,

@@ -74,7 +74,8 @@ def make_train_step(rollout: NavRollout, tx,
                     sample_feedback: str = "sample",
                     expl_max_ratio: float = 0.6, remat: str = "full",
                     teacher_horizon: Optional[int] = None,
-                    vectorized_teacher: bool = True):
+                    vectorized_teacher: bool = True,
+                    compact: Optional[str] = None):
     """sample_feedback='expl_sample' replicates --expl_sample runs
     (agent.py:436).
 
@@ -110,15 +111,18 @@ def make_train_step(rollout: NavRollout, tx,
     else:
         teacher_fn = t_ro.build_rollout("teacher", train_ml=True,
                                         deterministic=False, remat=remat)
+    # active-episode compaction spec for the on-policy rollouts (the
+    # teacher path is already gt-horizon-bounded); None falls back to the
+    # GOAT_COMPACT env var
     sample_fn = rollout.build_rollout(sample_feedback, train_ml=True,
                                      deterministic=False,
                                      expl_max_ratio=expl_max_ratio,
-                                     remat=remat)
+                                     remat=remat, compact=compact)
     fused_fn = rollout.build_rollout("fused_dagger", train_ml=True,
                                      deterministic=False,
                                      expl_max_ratio=expl_max_ratio,
                                      sample_feedback=sample_feedback,
-                                     remat=remat)
+                                     remat=remat, compact=compact)
 
     def loss_fn(params, batch, rng):
         r1, r2 = jax.random.split(rng)
