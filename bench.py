@@ -49,7 +49,7 @@ REF_PRETRAIN = {"mlm": 394.9, "sap": 985.2, "cfp": 270.4}
 LO = 20  # REVERIE objects per viewpoint (run_reverie_goat.sh:44 max 20)
 
 
-def build(B, dataset="r2r", bf16=True, real_shapes=False):
+def build(B, dataset="r2r", bf16=True, real_shapes=False, bucket_caps=None):
     """Production-scale synthetic rig per dataset.  real_shapes=True uses
     R2R val_unseen-like shapes (200-token instructions, gt paths 5-10)
     instead of the synthetic-average 60/4-7 — quantifying the shape-realism
@@ -104,7 +104,7 @@ def build(B, dataset="r2r", bf16=True, real_shapes=False):
                                   max_instr_len=instr_len)
     batcher = EpisodeBatcher(data, graphs, [g.scan_id for g in scans],
                              batch_size=B, max_instr_len=instr_len,
-                             max_gt_len=gt_cap)
+                             max_gt_len=gt_cap, bucket_caps=bucket_caps)
     if dataset == "reverie":
         # OG supervision: gt object slot at the goal viewpoint (local-branch
         # token offset cls+cands+36 views, cli.causal_batch)
@@ -156,19 +156,33 @@ def bench_train(B=None, dataset="r2r", real_shapes=False):
     from vln_goat_tpu.train import trainer as TR
 
     B = B or int(os.environ.get("GOAT_BENCH_TRAIN_B", "64"))
+    # GOAT_BUCKET="5,8": gt-length-homogeneous minibatches; the teacher
+    # scan runs at each bucket's cap (loss-identical; one compile per cap)
+    caps = tuple(int(c) for c in
+                 os.environ.get("GOAT_BUCKET", "").split(",") if c.strip())
     _, params, ro, batcher = build(B, dataset=dataset,
-                                   real_shapes=real_shapes)
+                                   real_shapes=real_shapes,
+                                   bucket_caps=caps or None)
     tx = TR.make_optimizer(lr=2e-5)
     state = TR.init_train_state(params, tx)
     alg = os.environ.get("GOAT_BENCH_ALG", "dagger")
-    step = jax.jit(TR.make_train_step(
-        ro, tx, train_alg=alg, ml_weight=0.2,
-        remat=os.environ.get("GOAT_BENCH_REMAT", "model"),
-        # A/B lever: 0 restores the per-step scan teacher
-        vectorized_teacher=os.environ.get("GOAT_VEC_TEACHER", "1") == "1",
-        # teacher scan at the batcher's gt cap is loss-identical
-        teacher_horizon=None if alg == "dagger_fused"
-        else batcher.max_gt_len))
+    th = "auto" if caps else \
+        (None if alg == "dagger_fused" else batcher.max_gt_len)
+    if alg == "dagger_2pass":
+        # grad-free sampling pass + host-planned replay at the actual max
+        # episode length with prefix chunking (trainer docstring)
+        step = TR.make_train_step_2pass(
+            ro, tx, ml_weight=0.2,
+            remat=os.environ.get("GOAT_BENCH_REMAT", "model"),
+            teacher_horizon=th)
+    else:
+        step = jax.jit(TR.make_train_step(
+            ro, tx, train_alg=alg, ml_weight=0.2,
+            remat=os.environ.get("GOAT_BENCH_REMAT", "model"),
+            # A/B lever: 0 restores the per-step scan teacher
+            vectorized_teacher=os.environ.get("GOAT_VEC_TEACHER", "1") == "1",
+            # teacher scan at the batcher's gt cap is loss-identical
+            teacher_horizon=th))
     rng = jax.random.PRNGKey(0)
 
     def nb():
@@ -180,6 +194,11 @@ def bench_train(B=None, dataset="r2r", real_shapes=False):
 
     first = nb()
     state, m = step(state, first, rng)
+    if caps:  # compile every bucket shape before the timed loop
+        for cap in caps:
+            items = batcher.next_minibatch()
+            bb = batcher.make_batch(items, gt_cap=cap)
+            state, m = step(state, bb, rng)
     jax.block_until_ready(m["loss"])
     iters = 8
     t0 = time.perf_counter()

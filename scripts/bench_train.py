@@ -50,13 +50,26 @@ def build(B, alg, remat, bf16, num_nodes=48):
     graphs = {g.scan_id: g for g in scans}
     data = make_synthetic_dataset(graphs, 512, vocab_size=cfg.vocab_size,
                                   path_len=(4, 7), seed=1)
+    # GOAT_BUCKET="5,8": gt-length-homogeneous minibatches, teacher scan
+    # at each bucket's cap (loss-identical; one compile per cap)
+    caps = tuple(int(c) for c in
+                 os.environ.get("GOAT_BUCKET", "").split(",") if c.strip())
     batcher = EpisodeBatcher(data, graphs, [g.scan_id for g in scans],
-                             batch_size=B, max_instr_len=60, max_gt_len=8)
+                             batch_size=B, max_instr_len=60, max_gt_len=8,
+                             bucket_caps=caps or None)
     tx = TR.make_optimizer(lr=2e-5)
     state = TR.init_train_state(params, tx)
-    step = jax.jit(TR.make_train_step(
-        ro, tx, train_alg=alg, ml_weight=0.2, remat=remat,
-        teacher_horizon=None if alg == "dagger_fused" else 8))
+    if alg == "dagger_2pass":
+        # two-pass DAgger: host logic between the passes — not jittable
+        # as a whole (trainer.make_train_step_2pass docstring)
+        step = TR.make_train_step_2pass(
+            ro, tx, ml_weight=0.2, remat=remat,
+            teacher_horizon="auto" if caps else 8)
+    else:
+        step = jax.jit(TR.make_train_step(
+            ro, tx, train_alg=alg, ml_weight=0.2, remat=remat,
+            teacher_horizon="auto" if caps else
+            (None if alg == "dagger_fused" else 8)))
     return step, state, batcher
 
 
@@ -75,6 +88,15 @@ def run(B, alg, remat, bf16, iters=8):
     batch = nb()
     t0 = time.perf_counter()
     state, m = step(state, batch, rng)
+    caps = tuple(int(c) for c in
+                 os.environ.get("GOAT_BUCKET", "").split(",") if c.strip())
+    for cap in caps:  # compile every bucket shape before the timed loop
+        bb = batcher.make_batch(batcher.next_minibatch(), gt_cap=cap)
+        state, m = step(state, bb, rng)
+    if alg == "dagger_2pass":
+        # hit the common (T2, chunk-spec) shapes before timing
+        for i in range(6):
+            state, m = step(state, nb(), jax.random.fold_in(rng, 900 + i))
     jax.block_until_ready(m["loss"])
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()

@@ -6,12 +6,14 @@
 # 3 minutes and launches the given command once the chip answers.
 #
 #   nohup bash scripts/tpu_watch.sh 'python scripts/r3_batch3.py > /tmp/r3.log 2>&1' &
+# A second degradation mode exists: the chip answers but every RPC takes
+# ~1s (timings then measure dispatch latency, not compute).  Probe with
+# the latency-aware health check so A/B batches only launch on a sane
+# tunnel (scripts/tpu_health.py).
 CMD="${1:-echo TPU recovered}"
+HERE="$(cd "$(dirname "$0")" && pwd)"
 while true; do
-  python -c "
-import jax, jax.numpy as jnp
-x = jnp.ones((128, 128)); float((x @ x)[0, 0])
-" >/dev/null 2>&1 && break
+  timeout 300 python "$HERE/tpu_health.py" --budget 3 >/dev/null 2>&1 && break
   sleep 180
 done
 echo "TPU recovered $(date -u +%H:%M); launching: $CMD"

@@ -132,6 +132,12 @@ def parse_args(argv=None):
     p.add_argument("--log_every", type=int, default=1000)
     p.add_argument("--batch_size", type=int, default=12)
     p.add_argument("--lr", type=float, default=2e-5)
+    p.add_argument("--bucket_caps", default="",
+                   help="comma-separated gt-length caps (e.g. '5,8'): train "
+                        "minibatches become length-homogeneous and the "
+                        "teacher scan runs at the bucket cap instead of the "
+                        "dataset max (loss-identical per batch; one compile "
+                        "per cap).  Empty = off")
     # dagger (default): two rollouts per update; the teacher scan runs at
     # the dataset's max gt length (loss-identical, ~25% fewer FLOPs).
     # dagger_fused: both rollouts as ONE 2B-episode scan — same semantics,
@@ -365,11 +371,18 @@ def build_runtime(args):
                   for it in data), default=2)
     gt_cap = min(max(gt_cap, 2), cfg.max_action_len + 1)
 
+    # --bucket_caps: length-homogeneous train minibatches; caps above the
+    # dataset max would just duplicate the top bucket, so clamp to gt_cap
+    caps = sorted({min(int(c), gt_cap)
+                   for c in args.bucket_caps.split(",") if c.strip()})
     batchers = {
         name: EpisodeBatcher(
             data, graphs, scan_order, args.batch_size,
             max_instr_len=min(cfg.max_instr_len, 64 if args.synthetic else 512),
             max_gt_len=gt_cap,
+            # bucketing shortens the TRAIN teacher scan; eval batchers keep
+            # one shape (decode has no teacher scan to shorten)
+            bucket_caps=(caps if caps and name in ("train", "aug") else None),
             # EnvEdit alternation on the training envs only (r2r/env.py:78-84)
             env_edit=(name in ("train", "aug") and world.has_aug),
             seed=args.seed + i)
@@ -569,9 +582,13 @@ def train(args, rt):
     tx = make_optimizer(lr=args.lr, grad_clip=args.grad_clip,
                         accumulate_steps=accum)
     # teacher-forced episodes end within max_gt_len steps — shorten that
-    # scan (loss-identical; trainer.py make_train_step docstring)
-    th = max((b.max_gt_len for k, b in rt["batchers"].items()
-              if k in ("train", "aug")), default=None)
+    # scan (loss-identical; trainer.py make_train_step docstring).  With
+    # --bucket_caps the horizon follows each batch's bucket cap instead.
+    if args.bucket_caps.strip():
+        th = "auto"
+    else:
+        th = max((b.max_gt_len for k, b in rt["batchers"].items()
+                  if k in ("train", "aug")), default=None)
     step_fn = jax.jit(make_train_step(
         rt["rollout"], tx, train_alg=args.train_alg,
         ml_weight=args.ml_weight,

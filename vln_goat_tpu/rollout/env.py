@@ -28,7 +28,18 @@ class EpisodeBatcher:
     def __init__(self, data: List[dict], scan_graphs: Dict[str, ScanGraph],
                  scan_order: Sequence[str], batch_size: int,
                  max_instr_len: int = 200, max_gt_len: int = 20,
-                 env_edit: bool = False, seed: int = 0):
+                 env_edit: bool = False, seed: int = 0,
+                 bucket_caps: Optional[Sequence[int]] = None):
+        """bucket_caps: optional increasing gt-length caps (e.g. (5, 8)).
+        When set, minibatches are length-homogeneous — each item goes to
+        the smallest cap >= its gt length (longer paths to the largest cap,
+        truncated like max_gt_len) and gt arrays are padded to that CAP
+        instead of max_gt_len.  The teacher-forced scan is loss-identical
+        at any horizon >= the batch's max gt length (trainer.py
+        teacher_horizon), so short buckets run a proportionally shorter
+        teacher scan; one compile per cap.  Batches are drawn from a
+        bucket chosen ~ proportional to its pending count, so epoch order
+        stays shuffled across buckets."""
         self.data = list(data)
         self.scan_graphs = scan_graphs
         self.scan_index = {s: i for i, s in enumerate(scan_order)}
@@ -39,6 +50,9 @@ class EpisodeBatcher:
         self.rng = random.Random(seed)
         self.rng.shuffle(self.data)
         self.ix = 0
+        self.bucket_caps = tuple(sorted(bucket_caps)) if bucket_caps else None
+        self._queues: Optional[Dict[int, List[dict]]] = None
+        self._gt_cap = max_gt_len  # cap used by the LAST make_batch
 
     def size(self) -> int:
         return len(self.data)
@@ -47,9 +61,13 @@ class EpisodeBatcher:
         if shuffle:
             self.rng.shuffle(self.data)
         self.ix = 0
+        self._queues = None
 
     def next_minibatch(self, batch_size: Optional[int] = None) -> List[dict]:
         bs = batch_size or self.batch_size
+        if self.bucket_caps:
+            return self._next_bucketed(bs)
+        self._gt_cap = self.max_gt_len
         batch = self.data[self.ix: self.ix + bs]
         if len(batch) < bs:
             self.rng.shuffle(self.data)
@@ -60,11 +78,48 @@ class EpisodeBatcher:
         self.batch = batch
         return batch
 
+    def _bucket_of(self, item: dict) -> int:
+        n = len(item["path"])
+        for cap in self.bucket_caps:
+            if n <= cap:
+                return cap
+        return self.bucket_caps[-1]
+
+    def _refill(self):
+        self.rng.shuffle(self.data)
+        for it in self.data:
+            self._queues[self._bucket_of(it)].append(it)
+
+    def _next_bucketed(self, bs: int) -> List[dict]:
+        if self._queues is None:
+            self._queues = {cap: [] for cap in self.bucket_caps}
+            self._refill()
+        # draw a bucket ~ pending count among those that can fill a batch
+        # (refill all queues when none can — keeps batches homogeneous
+        # without starving rare lengths)
+        full = [c for c in self.bucket_caps if len(self._queues[c]) >= bs]
+        if not full:
+            self._refill()
+            full = [c for c in self.bucket_caps if len(self._queues[c]) >= bs]
+            if not full:  # dataset smaller than a batch per bucket
+                full = [max(self.bucket_caps,
+                            key=lambda c: len(self._queues[c]))]
+                while len(self._queues[full[0]]) < bs:
+                    self._refill()
+        weights = [len(self._queues[c]) for c in full]
+        cap = self.rng.choices(full, weights=weights)[0]
+        q = self._queues[cap]
+        batch, self._queues[cap] = q[:bs], q[bs:]
+        self._gt_cap = cap
+        self.batch = batch
+        return batch
+
     # ------------------------------------------------------------------
-    def make_batch(self, items: List[dict]) -> Dict[str, jnp.ndarray]:
+    def make_batch(self, items: List[dict],
+                   gt_cap: Optional[int] = None) -> Dict[str, jnp.ndarray]:
         B = len(items)
         Lt = self.max_instr_len
-        Tg = self.max_gt_len
+        Tg = gt_cap or (self._gt_cap if self.bucket_caps else self.max_gt_len)
 
         scan_idx = np.zeros((B,), np.int32)
         start_vp = np.zeros((B,), np.int32)

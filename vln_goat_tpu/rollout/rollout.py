@@ -166,6 +166,28 @@ def _use_onehot() -> bool:
     return os.environ.get("GOAT_ONEHOT", "1") == "1"
 
 
+def _sg_geo() -> bool:
+    """stop_gradient on the f32 geometry features where they enter the
+    model (GOAT_SG_GEO, default 0 until the on-chip A/B lands).
+
+    In the reference these tensors (pano img/loc features, gmap/vp position
+    features, pair-distance biases) are built with numpy on the host every
+    step (agent.py:86-304) — they are leaf CONSTANTS with requires_grad
+    False, so no gradient ever flows through the GraphMap bookkeeping.
+    Here they are jnp values computed from the scan carries (edist/ehops
+    Floyd-Warshall tables), so unless JAX's symbolic-zero propagation
+    prunes them, the scan backward drags cotangents through the min-plus
+    relax / one-hot contraction chains for 15 steps — work whose result is
+    d(loss)/d(constants), discarded.  stop_gradient at the model-input
+    boundary is value- AND gradient-exact (the features do not depend on
+    params) and severs those chains at trace time."""
+    return os.environ.get("GOAT_SG_GEO", "0") == "1"
+
+
+def _sg(x):
+    return jax.lax.stop_gradient(x) if _sg_geo() else x
+
+
 def _esum(spec, *ops):
     """One-hot selection einsum, forced to ``Precision.HIGHEST``.
 
@@ -674,9 +696,13 @@ class NavRollout:
             loc = jnp.concatenate([loc, obj_loc], axis=1)
             nav_types = jnp.concatenate(
                 [nav_types, jnp.full((B, Lo), 2, jnp.int32)], axis=1)
-        return dict(img=img, loc=loc, nav_types=nav_types, mask=view_mask,
-                    objs=objs, cands=cands, cam_h=cam_h, cam_e=cam_e,
-                    cur_vp=cur_vp)
+        if objs is not None and _sg_geo():
+            objs = {k: (_sg(v) if isinstance(v, jnp.ndarray)
+                        and jnp.issubdtype(v.dtype, jnp.floating) else v)
+                    for k, v in objs.items()}
+        return dict(img=_sg(img), loc=_sg(loc), nav_types=nav_types,
+                    mask=view_mask, objs=objs, cands=cands, cam_h=cam_h,
+                    cam_e=cam_e, cur_vp=cur_vp)
 
     # ------------------------------------------------------------------
     def _nav_inputs(self, st, batch, pano, pano_embeds, cnode=None,
@@ -820,9 +846,10 @@ class NavRollout:
 
         nav_in = dict(
             gmap_step_ids=gmap_step_ids,
-            gmap_pos_fts=gmap_pos_fts, gmap_masks=gmap_masks,
-            gmap_pair_dists=gmap_pair_dists, gmap_visited_masks=gmap_visited,
-            vp_pos_fts=vp_pos_fts,
+            gmap_pos_fts=_sg(gmap_pos_fts), gmap_masks=gmap_masks,
+            gmap_pair_dists=_sg(gmap_pair_dists),
+            gmap_visited_masks=gmap_visited,
+            vp_pos_fts=_sg(vp_pos_fts),
             vp_masks=vp_masks, vp_nav_masks=vp_nav_masks,
             local_to_gmap=local_to_gmap,
         )
@@ -965,7 +992,8 @@ class NavRollout:
                       expl_max_ratio: float = 0.6,
                       sample_feedback: str = "sample",
                       remat: str = "full", record_logits: bool = False,
-                      exit_chunk: int = 0, compact: Optional[str] = None):
+                      exit_chunk: int = 0, compact: Optional[str] = None,
+                      record_actions: bool = False):
         """Returns rollout(params, batch, rng) -> outputs dict.  `feedback`
         in {teacher, sample, argmax, expl_sample, fused_dagger}
         (agent.py:624-647).
@@ -1396,6 +1424,11 @@ class NavRollout:
                            logits_stop=logits[:, 0].astype(jnp.float32),
                            just_ended=just_ended,
                            loss=step_loss.astype(jnp.float32))
+                if record_actions:
+                    # raw gmap-token action (0=stop, slot+2=node) for the
+                    # two-pass DAgger replay (build_forced_rollout_vec);
+                    # inactive rows keep the 0/stop default
+                    rec["a_tok"] = jnp.where(act, a, 0).astype(jnp.int32)
                 if os.environ.get("GOAT_DBG_REC") == "1":
                     rec["dbg_txt"] = jnp.sum(
                         txt_embeds.astype(jnp.float32), axis=(1, 2))
@@ -1484,6 +1517,8 @@ class NavRollout:
                         just_ended=jnp.zeros((C, Bz), bool),
                         loss=jnp.zeros((C, Bz)),
                     )
+                    if record_actions:
+                        z["a_tok"] = jnp.zeros((C, Bz), jnp.int32)
                     if os.environ.get("GOAT_DBG_REC") == "1":
                         z["dbg_txt"] = jnp.zeros((C, Bz))
                         z["dbg_gtlen"] = jnp.zeros((C, Bz), jnp.int32)
@@ -1647,6 +1682,8 @@ class NavRollout:
                         just_ended=jnp.zeros((T, B), bool),
                         loss=jnp.zeros((T, B)),
                     )
+                    if record_actions:
+                        recs["a_tok"] = jnp.zeros((T, B), jnp.int32)
                     if record_logits:
                         recs["logits"] = jnp.full((T, B, r.num_nodes + 2),
                                                   -jnp.inf)
@@ -1690,6 +1727,9 @@ class NavRollout:
                 final_cur=st["cur"], n_nodes=st["n_nodes"],
                 overflow_n=st["overflow_n"], spilled_n=st["spilled_n"],
             )
+            if record_actions:
+                out["a_tok"] = recs["a_tok"]
+                out["just_ended"] = recs["just_ended"]
             for dk in recs:
                 if dk.startswith("dbg_"):
                     out[dk] = recs[dk]
@@ -1707,7 +1747,8 @@ class NavRollout:
         return rollout
 
     def build_teacher_rollout_vec(self, deterministic: bool = False,
-                                  remat: str = "model"):
+                                  remat: str = "model", forced: bool = False,
+                                  chunks=None):
         """Teacher-forced IL rollout with the panorama encoder VECTORIZED
         over steps (training-only twin of build_rollout('teacher',
         train_ml=True)).
@@ -1731,7 +1772,29 @@ class NavRollout:
         deterministic=True (tests/test_vec_teacher.py); under dropout the
         draws differ (one mask per phase-B call instead of per step) —
         same Bernoulli distributions, documented randomness divergence.
-        Returns the training subset of build_rollout's outputs."""
+        Returns the training subset of build_rollout's outputs.
+
+        forced=True is the TWO-PASS DAgger replay: the rollout takes a
+        recorded per-step action array (gmap tokens from a grad-free
+        sampled pass, build_rollout(record_actions=True)) instead of the
+        imitation expert, computes expert targets with imitation=False and
+        the same end conditions as feedback='sample' — once actions are
+        fixed, the trajectory is parameter-independent, so the SAMPLED
+        rollout gets the same A/B/C decomposition as the teacher.  At the
+        evaluation point the one-pass sampled rollout's loss/grads equal
+        this replay's exactly (the trajectory is piecewise-constant in the
+        params; verified by tests/test_two_pass.py), and the replay
+        horizon can shrink to the batch's actual max episode length.
+
+        chunks (forced only): static spec ((t1, B1), (t2, B2), ...) — the
+        phase-C nav scan runs steps [0,t1) at full B, [t1,t2) on the row
+        prefix [:B1], etc.  Requires rows sorted by descending episode
+        length (the trainer does this on host, where pass-1 lengths are
+        known): rows beyond the prefix have ended, their phase-C updates
+        are no-ops and their losses zero, so the chunked result is
+        bit-identical while the scan (fwd AND bwd) runs at B_j rows.
+        Unlike GOAT_COMPACT there is no lax.cond, no device argsort and no
+        joined branch residuals — shapes are static per spec."""
         model, w, r, c = self.model, self.world, self.rcfg, self.mcfg
         # every policy except 'none' checkpoints the model calls: the
         # batched [T*B] pano forward and the per-step nav forwards must
@@ -1770,8 +1833,9 @@ class NavRollout:
         T = r.horizon
         N, N1 = r.num_nodes, r.num_nodes + 1
         objnav = w.num_objs > 0 and c.is_objnav
+        need_dtw = forced and r.expert_policy == "ndtw"
 
-        def rollout(params, batch, rng, txt=None):
+        def rollout(params, batch, rng, txt=None, actions=None):
             B = batch["scan_idx"].shape[0]
             bidx = jnp.arange(B)
             rng_txt, rng_pano, rng_loop = jax.random.split(rng, 3)
@@ -1782,7 +1846,7 @@ class NavRollout:
             txt_embeds, txt_kv, nav_w = txt["embeds"], txt["kv"], txt["nav_w"]
             txt_masks = batch["txt_masks"]
 
-            st = self.init_state(batch, need_dtw=False)
+            st = self.init_state(batch, need_dtw=need_dtw)
             # the embedding state lives in phase C; the geometry scan only
             # records the scatter indices that drive it
             for k in ("embed_sum", "embed_cnt", "stop_prob", "last_embeds"):
@@ -1791,7 +1855,8 @@ class NavRollout:
             # ---------------- phase A: geometry scan (no model) --------
             onehot = _use_onehot()
 
-            def geo_step(st, t):
+            def geo_step(st, xs_a):
+                t, a_f = xs_a
                 act = ~st["ended"]
                 if onehot:
                     tb = jnp.broadcast_to(t + 1, (B,)).astype(jnp.int32)
@@ -1826,8 +1891,12 @@ class NavRollout:
                 nav_geo, aux = self._nav_inputs(st, batch, pano, None,
                                                 cnode=cnode, has=chas,
                                                 embeds=False)
-                target = self._teacher(st, batch, aux, t, imitation=True)
-                a = jnp.maximum(target, 0)
+                target = self._teacher(st, batch, aux, t,
+                                       imitation=not forced)
+                # forced replay: follow the recorded gmap token; the expert
+                # above supplies the CE target exactly like the one-pass
+                # sampled rollout (step(): feedback='sample', train_ml)
+                a = a_f if forced else jnp.maximum(target, 0)
                 goal = _pick1(batch["gt_path"], batch["gt_len"] - 1) \
                     if onehot else batch["gt_path"][bidx, batch["gt_len"] - 1]
                 a_stop = (cur_vp == goal) | (a == 0)
@@ -1837,7 +1906,23 @@ class NavRollout:
                 tgt_node = jnp.clip(a - 2, 0, r.num_nodes - 1)
 
                 # camera update (arrival-edge view of prev->action)
-                _, prev = self._expand_path(st, tgt_node, r.seg_len)
+                seg, prev = self._expand_path(st, tgt_node, r.seg_len)
+                if "dtw_row" in st:
+                    # incremental DTW over the traversed segment (the ndtw
+                    # expert scores the trajectory-so-far; identical block
+                    # in the one-pass sampled step)
+                    seg = jnp.where(moves[:, None], seg, -1)
+
+                    def dtw_body(k, row):
+                        node = jnp.clip(seg[:, k], 0, r.num_nodes)
+                        vp_k = _pick1(st["node_vp"], node) if onehot \
+                            else st["node_vp"][bidx, node]
+                        cost = self._gt_cost(batch, vp_k)
+                        return dtw_extend_row(row, cost,
+                                              valid=seg[:, k] >= 0)
+
+                    st = {**st, "dtw_row": jax.lax.fori_loop(
+                        0, r.seg_len, dtw_body, st["dtw_row"])}
                 scan = batch["scan_idx"]
                 if onehot:
                     rev = _esum(
@@ -1876,7 +1961,11 @@ class NavRollout:
                     ys["at_goal"] = cur_vp == goal
                 return st, ys
 
-            st, ys = jax.lax.scan(geo_step, st, jnp.arange(T),
+            if forced:
+                acts_xs = actions[:T].astype(jnp.int32)
+            else:
+                acts_xs = jnp.zeros((T, B), jnp.int32)  # unused
+            st, ys = jax.lax.scan(geo_step, st, (jnp.arange(T), acts_xs),
                                   unroll=_scan_unroll())
 
             # ---------------- phase B: batched panorama ----------------
@@ -1934,76 +2023,137 @@ class NavRollout:
                 xs["oid"] = oid
                 xs["at_goal"] = ys["at_goal"]
 
-            def nav_step(carry, xs_t):
-                es, ec, last = carry
-                act = xs_t["act"]
-                cur = xs_t["cur"]
-                if onehot:
-                    es = _set1(es, cur, xs_t["pf"].astype(es.dtype), act)
-                    ec = _set1(ec, cur, jnp.ones((B,), ec.dtype), act)
-                    oh_t = _ohf(xs_t["tgt"], N1)
-                    addf = xs_t["add"].astype(jnp.float32)
-                    pe = xs_t["pe"][:, :K].astype(jnp.float32) \
-                        * addf[..., None]
-                    es = es + _esum("bkn,bkd->bnd", oh_t, pe)
-                    ec = ec + _esum("bkn,bk->bn", oh_t, addf)
-                else:
-                    es = es.at[bidx, cur].set(
-                        jnp.where(act[:, None], xs_t["pf"], es[bidx, cur]))
-                    ec = ec.at[bidx, cur].set(
-                        jnp.where(act, 1.0, ec[bidx, cur]))
-                    es = es.at[bidx[:, None], xs_t["tgt"]].add(
-                        jnp.where(xs_t["add"][..., None],
-                                  xs_t["pe"][:, :K].astype(jnp.float32), 0.0))
-                    ec = ec.at[bidx[:, None], xs_t["tgt"]].add(
-                        xs_t["add"].astype(jnp.float32))
+            def make_nav_step(Bj, txt_e, txt_m, txt_k, nav_wj, batch_j):
+                bidx_j = jnp.arange(Bj)
 
-                gmap_img, vp_img = _nav_embed_assemble(
-                    es, ec, last, xs_t["pe"], N, D)
-                nav_in = dict(xs_t["geo"], gmap_img_embeds=gmap_img,
-                              vp_img_embeds=vp_img)
-                if "front_vp_feats" in batch:
-                    nav_in["front_vp_feats"] = batch["front_vp_feats"]
-                if "front_gmap_feats" in batch:
-                    nav_in["front_gmap_feats"] = batch["front_gmap_feats"]
-                rn = jax.random.split(
-                    jax.random.fold_in(rng_loop, xs_t["t"]), 2)[1]
-                outs = apply(params, rn, GoatModel.forward_navigation,
-                             txt_embeds, txt_masks, ckpt=True,
-                             txt_kv=txt_kv, nav_w=nav_w, **nav_in)
-                logits = outs["fused_logits"]
-                last = jnp.where(act[:, None], outs["cls_embeds"], last)
+                def nav_step(carry, xs_t):
+                    es, ec, last = carry
+                    act = xs_t["act"]
+                    cur = xs_t["cur"]
+                    if onehot:
+                        es = _set1(es, cur, xs_t["pf"].astype(es.dtype), act)
+                        ec = _set1(ec, cur, jnp.ones((Bj,), ec.dtype), act)
+                        oh_t = _ohf(xs_t["tgt"], N1)
+                        addf = xs_t["add"].astype(jnp.float32)
+                        pe = xs_t["pe"][:, :K].astype(jnp.float32) \
+                            * addf[..., None]
+                        es = es + _esum("bkn,bkd->bnd", oh_t, pe)
+                        ec = ec + _esum("bkn,bk->bn", oh_t, addf)
+                    else:
+                        es = es.at[bidx_j, cur].set(
+                            jnp.where(act[:, None], xs_t["pf"],
+                                      es[bidx_j, cur]))
+                        ec = ec.at[bidx_j, cur].set(
+                            jnp.where(act, 1.0, ec[bidx_j, cur]))
+                        es = es.at[bidx_j[:, None], xs_t["tgt"]].add(
+                            jnp.where(xs_t["add"][..., None],
+                                      xs_t["pe"][:, :K].astype(jnp.float32),
+                                      0.0))
+                        ec = ec.at[bidx_j[:, None], xs_t["tgt"]].add(
+                            xs_t["add"].astype(jnp.float32))
 
-                og_loss = jnp.zeros((B,))
-                if "oid" in xs_t and "gt_obj_slot" in batch:
-                    gt_slot = batch["gt_obj_slot"]
-                    has_obj = jnp.any(jnp.isfinite(outs["obj_logits"]),
-                                      axis=1)
-                    ok = act & xs_t["at_goal"] & (gt_slot >= 0) & has_obj
-                    safe = jnp.where(has_obj[:, None],
-                                     outs["obj_logits"], 0.0)
-                    ologp = jax.nn.log_softmax(safe, axis=1)
-                    oli = jnp.take_along_axis(
-                        ologp, jnp.maximum(gt_slot, 0)[:, None], 1)[:, 0]
-                    og_loss = -jnp.where(ok, oli, 0.0)
+                    gmap_img, vp_img = _nav_embed_assemble(
+                        es, ec, last, xs_t["pe"], N, D)
+                    nav_in = dict(xs_t["geo"], gmap_img_embeds=gmap_img,
+                                  vp_img_embeds=vp_img)
+                    if "front_vp_feats" in batch_j:
+                        nav_in["front_vp_feats"] = batch_j["front_vp_feats"]
+                    if "front_gmap_feats" in batch_j:
+                        nav_in["front_gmap_feats"] = \
+                            batch_j["front_gmap_feats"]
+                    rn = jax.random.split(
+                        jax.random.fold_in(rng_loop, xs_t["t"]), 2)[1]
+                    outs = apply(params, rn, GoatModel.forward_navigation,
+                                 txt_e, txt_m, ckpt=True,
+                                 txt_kv=txt_k, nav_w=nav_wj, **nav_in)
+                    logits = outs["fused_logits"]
+                    last = jnp.where(act[:, None], outs["cls_embeds"], last)
 
-                target = xs_t["target"]
-                logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
-                tgt_ok = target >= 0
-                li = jnp.take_along_axis(
-                    logp, jnp.maximum(target, 0)[:, None], axis=1)[:, 0]
-                step_loss = -jnp.where(tgt_ok, li, 0.0) + og_loss
+                    og_loss = jnp.zeros((Bj,))
+                    if "oid" in xs_t and "gt_obj_slot" in batch_j:
+                        gt_slot = batch_j["gt_obj_slot"]
+                        has_obj = jnp.any(jnp.isfinite(outs["obj_logits"]),
+                                          axis=1)
+                        ok = act & xs_t["at_goal"] & (gt_slot >= 0) & has_obj
+                        safe = jnp.where(has_obj[:, None],
+                                         outs["obj_logits"], 0.0)
+                        ologp = jax.nn.log_softmax(safe, axis=1)
+                        oli = jnp.take_along_axis(
+                            ologp, jnp.maximum(gt_slot, 0)[:, None], 1)[:, 0]
+                        og_loss = -jnp.where(ok, oli, 0.0)
 
-                keep = xs_t["keep"]
-                es = es * keep[..., None]
-                ec = ec * keep
-                return (es, ec, last), step_loss.astype(jnp.float32)
+                    target = xs_t["target"]
+                    logp = jax.nn.log_softmax(logits.astype(jnp.float32),
+                                              axis=1)
+                    tgt_ok = target >= 0
+                    li = jnp.take_along_axis(
+                        logp, jnp.maximum(target, 0)[:, None], axis=1)[:, 0]
+                    step_loss = -jnp.where(tgt_ok, li, 0.0) + og_loss
+
+                    keep = xs_t["keep"]
+                    es = es * keep[..., None]
+                    ec = ec * keep
+                    return (es, ec, last), step_loss.astype(jnp.float32)
+
+                return nav_step
 
             carry0 = (jnp.zeros((B, N1, D), jnp.float32),
                       jnp.zeros((B, N1), jnp.float32),
                       jnp.zeros((B, D), jnp.float32))
-            _, losses = jax.lax.scan(nav_step, carry0, xs,
-                                     unroll=_scan_unroll())
+            spec = tuple(chunks or ())
+            if forced and spec:
+                # static prefix chunking: rows are sorted by descending
+                # episode length on host, so at boundary t_j only the first
+                # B_j rows are still active; the scan (fwd AND bwd) runs on
+                # that prefix with STATIC shapes.  Ended rows' updates are
+                # masked no-ops and their losses zero, so the result is
+                # bit-identical to the full-B scan.
+                def row_slice(x, Bj):
+                    return jax.tree.map(lambda v: v[:, :Bj], x)
+
+                bounds = [0] + [tb for tb, _ in spec] + [T]
+                sizes = [B] + [bj for _, bj in spec]
+                carry = carry0
+                parts = []
+                for j in range(len(sizes)):
+                    a0, b0 = bounds[j], bounds[j + 1]
+                    if a0 >= b0:
+                        continue
+                    Bj = sizes[j]
+                    xs_j = jax.tree.map(
+                        lambda v: v[a0:b0] if v.ndim == 1
+                        else v[a0:b0, :Bj], xs)
+                    txt_e = txt_embeds[:Bj]
+                    txt_m = txt_masks[:Bj]
+                    txt_k = None if txt_kv is None else \
+                        jax.tree.map(lambda v: v[:Bj], txt_kv)
+                    nav_wj = None if nav_w is None else \
+                        jax.tree.map(lambda v: v[:Bj], nav_w)
+                    batch_j = {k: (v if k in _COMPACT_SHARED
+                                   else jax.tree.map(lambda q: q[:Bj], v))
+                               for k, v in batch.items()
+                               if k in ("front_vp_feats", "front_gmap_feats",
+                                        "gt_obj_slot", "feat_noise")}
+                    head = jax.tree.map(lambda v: v[:Bj], carry)
+                    head, loss_j = jax.lax.scan(
+                        make_nav_step(Bj, txt_e, txt_m, txt_k, nav_wj,
+                                      batch_j),
+                        head, xs_j, unroll=_scan_unroll())
+                    carry = jax.tree.map(
+                        lambda h, f: jnp.concatenate([h, f[Bj:]], axis=0),
+                        head, carry)
+                    parts.append(jnp.pad(loss_j,
+                                         ((0, 0), (0, B - Bj))))
+                losses = jnp.concatenate(parts, axis=0)
+            else:
+                batch_full = {k: batch[k]
+                              for k in ("front_vp_feats", "front_gmap_feats",
+                                        "gt_obj_slot", "feat_noise")
+                              if k in batch}
+                _, losses = jax.lax.scan(
+                    make_nav_step(B, txt_embeds, txt_masks, txt_kv, nav_w,
+                                  batch_full),
+                    carry0, xs, unroll=_scan_unroll())
 
             return dict(
                 ml_loss=jnp.sum(losses) / B,
@@ -2020,7 +2170,7 @@ class NavRollout:
         # trace-time env flags must key the cache too, or flipping them
         # in-process silently returns a stale trace (ADVICE r3)
         key = (feedback, train_ml, deterministic, sample_feedback, remat,
-               _use_onehot(), _scan_unroll(),
+               _use_onehot(), _scan_unroll(), _sg_geo(),
                os.environ.get("GOAT_COMPACT", ""))
         if key not in self._jitted:
             self._jitted[key] = jax.jit(

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -73,7 +73,7 @@ def make_train_step(rollout: NavRollout, tx,
                     train_alg: str = "dagger", ml_weight: float = 0.2,
                     sample_feedback: str = "sample",
                     expl_max_ratio: float = 0.6, remat: str = "full",
-                    teacher_horizon: Optional[int] = None,
+                    teacher_horizon: Union[int, str, None] = None,
                     vectorized_teacher: bool = True,
                     compact: Optional[str] = None):
     """sample_feedback='expl_sample' replicates --expl_sample runs
@@ -92,25 +92,38 @@ def make_train_step(rollout: NavRollout, tx,
     once the gt path is exhausted (<= max_gt_len steps: last hop arrives,
     next step emits stop), so a horizon of the batcher's max_gt_len is
     loss-identical to the full horizon while skipping the dead tail of the
-    scan.  None keeps the rollout's configured horizon."""
+    scan.  None keeps the rollout's configured horizon.  "auto" derives
+    the horizon from each batch's gt_path width at trace time — with
+    length-bucketed batches (EpisodeBatcher bucket_caps) short buckets
+    run a proportionally shorter teacher scan, one compile per cap."""
     import dataclasses as _dc
 
-    t_ro = rollout
-    if teacher_horizon is not None and teacher_horizon < rollout.rcfg.horizon:
-        t_ro = NavRollout(rollout.model, rollout.world,
-                          _dc.replace(rollout.rcfg,
-                                      horizon=teacher_horizon))
-    # vectorized teacher: under teacher forcing the trajectory is
-    # parameter-independent, so the pano encoder runs ONCE over all steps
-    # and only the nav branch scans (rollout.build_teacher_rollout_vec).
-    # Loss-identical without dropout; under dropout the draws differ
-    # (documented randomness divergence, like the rbg PRNG).
-    if vectorized_teacher:
-        teacher_fn = t_ro.build_teacher_rollout_vec(deterministic=False,
-                                                    remat=remat)
-    else:
-        teacher_fn = t_ro.build_rollout("teacher", train_ml=True,
-                                        deterministic=False, remat=remat)
+    def _teacher_at(horizon: Optional[int]):
+        t_ro = rollout
+        if horizon is not None and horizon < rollout.rcfg.horizon:
+            t_ro = NavRollout(rollout.model, rollout.world,
+                              _dc.replace(rollout.rcfg, horizon=horizon))
+        # vectorized teacher: under teacher forcing the trajectory is
+        # parameter-independent, so the pano encoder runs ONCE over all
+        # steps and only the nav branch scans
+        # (rollout.build_teacher_rollout_vec).  Loss-identical without
+        # dropout; under dropout the draws differ (documented randomness
+        # divergence, like the rbg PRNG).
+        if vectorized_teacher:
+            return t_ro.build_teacher_rollout_vec(deterministic=False,
+                                                  remat=remat)
+        return t_ro.build_rollout("teacher", train_ml=True,
+                                  deterministic=False, remat=remat)
+
+    _tcache: Dict[Optional[int], Any] = {}
+
+    def teacher_fn(params, batch, rng, txt=None):
+        h = teacher_horizon
+        if h == "auto":
+            h = min(int(batch["gt_path"].shape[1]), rollout.rcfg.horizon)
+        if h not in _tcache:
+            _tcache[h] = _teacher_at(h)
+        return _tcache[h](params, batch, rng, txt=txt)
     # active-episode compaction spec for the on-policy rollouts (the
     # teacher path is already gt-horizon-bounded); None falls back to the
     # GOAT_COMPACT env var
@@ -183,6 +196,150 @@ def init_train_state(params, tx) -> TrainState:
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
 
 
+def make_train_step_2pass(rollout: NavRollout, tx,
+                          ml_weight: float = 0.2,
+                          sample_feedback: str = "sample",
+                          expl_max_ratio: float = 0.6, remat: str = "model",
+                          teacher_horizon: Union[int, str, None] = None,
+                          horizon_buckets=(5, 9, 12),
+                          chunk_points=(4, 8, 12),
+                          prefix_fracs=(0.5, 0.25)):
+    """TWO-PASS DAgger: the on-policy rollout is split into a grad-free
+    sampling pass and a grad-carrying replay.
+
+      pass 1 — build_rollout(sample_feedback, train_ml=False,
+        record_actions=True): the fast early-exit while_loop decode path
+        samples the trajectory and records per-step gmap-token actions.
+        No loss, no remat, no backward.
+      host — episode lengths are now KNOWN: pick the replay horizon T2
+        (smallest bucket >= the batch max), sort rows by descending
+        length, and derive a static prefix-chunk spec so the replay scan
+        runs later steps on only the still-active row prefix.
+      pass 2 — build_teacher_rollout_vec(forced=True, chunks=spec): the
+        vectorized re-forward along the recorded actions (batched pano
+        over [T2*B], nav-only scan) + the teacher rollout + backward +
+        optimizer, one jit per (T2, spec, gt-cap) shape.
+
+    At the evaluation point the sampled trajectory is piecewise-constant
+    in the params, so d(loss)/d(params) of the replay equals the one-pass
+    sampled rollout's exactly; with dropout active the draws differ
+    (documented randomness-divergence class, like rbg/vec-teacher).
+    Returns step(state, batch, rng) like make_train_step — but the step
+    is NOT jittable as a whole (host logic between the passes); do not
+    wrap it in jax.jit."""
+    import dataclasses as _dc
+
+    import numpy as np
+
+    from ..rollout.rollout import _COMPACT_SHARED
+
+    H = rollout.rcfg.horizon
+    allowed_T = sorted({h for h in horizon_buckets if h < H} | {H})
+    p1_fn = jax.jit(rollout.build_rollout(
+        sample_feedback, train_ml=False, deterministic=False,
+        expl_max_ratio=expl_max_ratio, record_actions=True))
+
+    # teacher side: same machinery as make_train_step (incl. "auto")
+    def _teacher_at(horizon):
+        t_ro = rollout
+        if horizon is not None and horizon < H:
+            t_ro = NavRollout(rollout.model, rollout.world,
+                              _dc.replace(rollout.rcfg, horizon=horizon))
+        return t_ro.build_teacher_rollout_vec(deterministic=False,
+                                              remat=remat)
+
+    _tcache: Dict[Any, Any] = {}
+
+    def teacher_fn(params, batch, rng, txt=None):
+        h = teacher_horizon
+        if h == "auto":
+            h = min(int(batch["gt_path"].shape[1]), H)
+        if h not in _tcache:
+            _tcache[h] = _teacher_at(h)
+        return _tcache[h](params, batch, rng, txt=txt)
+
+    _scache: Dict[Any, Any] = {}
+
+    def step2_at(T2: int, spec):
+        key = (T2, spec)
+        if key in _scache:
+            return _scache[key]
+        f_ro = rollout if T2 == H else \
+            NavRollout(rollout.model, rollout.world,
+                       _dc.replace(rollout.rcfg, horizon=T2))
+        forced_fn = f_ro.build_teacher_rollout_vec(
+            deterministic=False, remat=remat, forced=True, chunks=spec)
+
+        def loss_fn(params, batch, actions, rng):
+            r1, r2 = jax.random.split(rng)
+            txt = rollout.encode_text(params, batch,
+                                      jax.random.fold_in(rng, 3))
+            loss = jnp.zeros(())
+            metrics = {}
+            if ml_weight != 0:
+                out_t = teacher_fn(params, batch, r1, txt=txt)
+                loss = loss + ml_weight * out_t["ml_loss"]
+                metrics["il_loss"] = out_t["ml_loss"]
+            out_s = forced_fn(params, batch, r2, txt=txt, actions=actions)
+            loss = loss + out_s["ml_loss"]
+            metrics["sample_loss"] = out_s["ml_loss"]
+            metrics["node_overflow"] = jnp.sum(out_s["overflow_n"])
+            metrics["node_spilled"] = jnp.sum(out_s["spilled_n"])
+            return loss, metrics
+
+        def step2(state: TrainState, batch, actions, rng):
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, batch, actions, rng)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            metrics["loss"] = loss
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return TrainState(params, opt_state, state.step + 1), metrics
+
+        _scache[key] = jax.jit(step2)
+        return _scache[key]
+
+    def derive_spec(lengths: np.ndarray, B: int):
+        """(T2, ((t, B_t), ...)) from pass-1 episode lengths; rows must be
+        sorted descending by length before pass 2."""
+        maxlen = int(lengths.max()) if lengths.size else 1
+        T2 = next(t for t in allowed_T if t >= maxlen)
+        sizes_allowed = sorted({B} | {max(8, int(B * f))
+                                      for f in prefix_fracs}, reverse=True)
+        spec = []
+        prev = B
+        for t in chunk_points:
+            if t >= T2:
+                break
+            need = int((lengths > t).sum())
+            fit = min((s for s in sizes_allowed if s >= max(need, 1)),
+                      default=B)
+            if fit < prev:
+                spec.append((t, fit))
+                prev = fit
+        return T2, tuple(spec)
+
+    def step(state: TrainState, batch, rng):
+        r1, r2 = jax.random.split(jax.random.fold_in(rng, 17))
+        out1 = p1_fn(state.params, batch, r1)
+        a_tok = np.asarray(out1["a_tok"])          # [H, B]
+        je = np.asarray(out1["just_ended"])        # [H, B]
+        B = a_tok.shape[1]
+        lengths = np.where(je.any(0), je.argmax(0) + 1, H)
+        T2, spec = derive_spec(lengths, B)
+        order = np.argsort(-lengths, kind="stable")
+        batch_p = {k: (v if k in _COMPACT_SHARED
+                       or getattr(v, "ndim", 0) == 0
+                       or getattr(v, "shape", (0,))[0] != B
+                       else jnp.asarray(v)[jnp.asarray(order)])
+                   for k, v in batch.items()}
+        actions_p = jnp.asarray(a_tok[:T2][:, order])
+        return step2_at(T2, spec)(state, batch_p, actions_p, r2)
+
+    return step
+
+
 def fuse_dagger_batches(batch_t: Dict[str, Any],
                         batch_s: Dict[str, Any]) -> Dict[str, Any]:
     """Concatenate a teacher minibatch and a sample minibatch into one
@@ -198,8 +355,15 @@ def fuse_dagger_batches(batch_t: Dict[str, Any],
         if k in shared or k not in batch_s:
             out[k] = v
         else:
-            out[k] = jnp.concatenate(
-                [jnp.asarray(v), jnp.asarray(batch_s[k])], axis=0)
+            a, b = jnp.asarray(v), jnp.asarray(batch_s[k])
+            if k in ("gt_path",) and a.shape[1] != b.shape[1]:
+                # length-bucketed halves: pad gt to the wider cap
+                Tg = max(a.shape[1], b.shape[1])
+                a = jnp.pad(a, ((0, 0), (0, Tg - a.shape[1])),
+                            constant_values=-1)
+                b = jnp.pad(b, ((0, 0), (0, Tg - b.shape[1])),
+                            constant_values=-1)
+            out[k] = jnp.concatenate([a, b], axis=0)
     out["is_teacher"] = jnp.concatenate(
         [jnp.ones((b_t,), bool), jnp.zeros((b_s,), bool)])
     return out
