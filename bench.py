@@ -1,6 +1,14 @@
 """Throughput benchmarks at production scale.  Prints one JSON line per
-metric; the LAST line is the BASELINE.json north-star metric (R2R DAgger
-fine-tune episodes/sec/chip), so line-parsers record the primary metric.
+metric.  The north-star metric (R2R DAgger fine-tune episodes/sec/chip)
+is measured and printed FIRST — a driver timeout can no longer destroy
+it (BENCH_r04 died at rc=124 mid-pretrain and lost the headline) — and
+the same line is re-printed LAST so last-line parsers still record the
+primary metric.  Every subsequent section is gated on a wall-clock
+budget (GOAT_BENCH_BUDGET seconds, default 780) and prints a loud
+{"skipped": "budget"} line when cut.  Each train line carries a k=3
+spread (median + min/max) and the artifact opens with a tunnel-health
+probe, because day-to-day chip/tunnel variance is ±30% (ROADMAP r4) and
+a single-shot number is meaningless against the 5x bar.
 
 Baseline anchors (BASELINE.md "Measured baseline" sections; measured with
 scripts/bench_reference.py driving the UNMODIFIED reference stack on a
@@ -146,13 +154,13 @@ def bench_decode(B=None, dataset="r2r"):
     return B * iters / dt
 
 
-def bench_train(B=None, dataset="r2r", real_shapes=False):
+def bench_train(B=None, dataset="r2r", real_shapes=False, k=1, iters=8):
     """DAgger optimizer step (teacher rollout at the short gt-bounded
     horizon + sampled rollout at the full horizon + backward + AdamW;
     GOAT_BENCH_ALG=dagger_fused benches the single-scan variant).
     Episodes/sec counted as B per iteration — the reference's it/s * batch
     convention (one iteration consumes B teacher + B sample episodes on
-    both sides)."""
+    both sides).  Returns (list of k eps/s measurements, hw-util%)."""
     from vln_goat_tpu.train import trainer as TR
 
     B = B or int(os.environ.get("GOAT_BENCH_TRAIN_B", "64"))
@@ -200,25 +208,28 @@ def bench_train(B=None, dataset="r2r", real_shapes=False):
             bb = batcher.make_batch(items, gt_cap=cap)
             state, m = step(state, bb, rng)
     jax.block_until_ready(m["loss"])
-    iters = 8
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, m = step(state, nb(), jax.random.fold_in(rng, i))
-    jax.block_until_ready(m["loss"])
-    float(m["loss"])  # fetch guard: see bench_decode
-    dt = (time.perf_counter() - t0) / iters
+    runs = []
+    for rep in range(k):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, m = step(state, nb(),
+                            jax.random.fold_in(rng, rep * iters + i))
+        jax.block_until_ready(m["loss"])
+        float(m["loss"])  # fetch guard: see bench_decode
+        runs.append(B * iters / (time.perf_counter() - t0))
     # hardware FLOP utilization vs the v5e bf16 peak (197 TFLOP/s), from
     # the compiled executable's own flop count (includes remat recompute —
     # i.e. how busy the MXU actually is).  VERDICT r2: publish MFU.
     util = None
     try:
+        dt = B / max(runs)
         cost = step.lower(state, first, rng).compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
         util = float(cost.get("flops", 0.0)) / dt / 197e12 * 100.0
     except Exception:
         pass
-    return B / dt, util
+    return runs, util
 
 
 def bench_rxr_overflow(B=32, episodes=256):
@@ -240,7 +251,7 @@ def bench_rxr_overflow(B=32, episodes=256):
     return tot_spill / n, tot_drop / n
 
 
-def bench_pretrain(tasks=("mlm", "sap", "cfp"), B=48, iters=30,
+def bench_pretrain(tasks=("mlm", "sap", "cfp"), B=48, iters=12,
                    num_workers=6):
     """END-TO-END pretrain steady state: the real batch stream (multi-
     process BatchWorkerPool, shared-memory feature tables — the reference
@@ -319,89 +330,167 @@ def bench_pretrain(tasks=("mlm", "sap", "cfp"), B=48, iters=30,
     return out
 
 
+def probe_tunnel():
+    """10 chained 1024^2 matmuls + fetch (scripts/tpu_health.py inline):
+    healthy < ~0.5s; the DEGRADED tunnel mode (~1s/RPC) measures 50-110s.
+    Printed first so every number below is interpretable."""
+    import jax.numpy as jnp
+    x = jnp.ones((1024, 1024), jnp.bfloat16)
+    f = jax.jit(lambda a: a @ a)
+    r = f(x)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        r = f(r)
+    float(jnp.sum(r.astype(jnp.float32)))  # fetch guard
+    return time.perf_counter() - t0
+
+
+def _spread(runs):
+    s = sorted(runs)
+    return dict(value=round(s[len(s) // 2], 2),
+                spread=[round(s[0], 2), round(s[-1], 2)], k=len(s))
+
+
 def main():
-    decode = bench_decode()
+    import signal
+    # a driver SIGTERM must still run the `finally` blocks (shm cleanup in
+    # bench_pretrain leaked semaphores in BENCH_r04)
+    signal.signal(signal.SIGTERM, lambda *_: (_ for _ in ()).throw(
+        SystemExit(143)))
+    t_start = time.perf_counter()
+    budget = float(os.environ.get("GOAT_BENCH_BUDGET", "780"))
+
+    def room(est):
+        return (time.perf_counter() - t_start) + est <= budget
+
+    def skip(metric, est):
+        print(json.dumps({"metric": metric, "skipped": "budget",
+                          "est_s": est, "elapsed_s":
+                          round(time.perf_counter() - t_start, 1)}),
+              flush=True)
+
+    th = probe_tunnel()
     print(json.dumps({
-        "metric": "r2r_greedy_decode_episodes_per_sec_per_chip",
-        "value": round(decode, 2),
+        "metric": "tunnel_health_chained_matmul_s",
+        "value": round(th, 2), "unit": "s",
+        "healthy": th < 3.0,
+        "note": "10 chained 1024^2 matmuls + fetch; healthy <0.5s, the "
+                "DEGRADED tunnel mode measures 50-110s — train/decode "
+                "numbers below are dispatch-latency-bound if unhealthy",
+    }), flush=True)
+
+    # headline FIRST (median of k=3), so a driver timeout can't lose it
+    runs, util = bench_train(k=3)
+    headline = {
+        "metric": "r2r_dagger_finetune_episodes_per_sec_per_chip",
+        **_spread(runs),
         "unit": "episodes/s",
-        "vs_baseline": round(decode / REF_DECODE_EPS, 2),
-    }), flush=True)
-    spill_rate, drop_rate = bench_rxr_overflow()
-    print(json.dumps({
-        "metric": "rxr_node_table_spills_per_episode",
-        "value": round(spill_rate, 4),
-        "unit": "spills/episode",
-        "dropped_per_episode": round(drop_rate, 4),
-        "note": "96-node table, horizon 28, sampled rollouts; spill "
-                "policy evicts farthest unvisited (reference GraphMap is "
-                "unbounded)",
-    }), flush=True)
+        "vs_baseline": round(_spread(runs)["value"] / REF_TRAIN_EPS, 2),
+        "remat_policy": os.environ.get("GOAT_BENCH_REMAT", "model"),
+        "scan_unroll": int(os.environ["GOAT_SCAN_UNROLL"]),
+        "alg": os.environ.get("GOAT_BENCH_ALG", "dagger"),
+        "tunnel_health_s": round(th, 2),
+    }
+    if util is not None:
+        # XLA cost_analysis flops / step time / v5e bf16 peak; the step is
+        # elementwise/data-movement bound, not FLOP bound (ROADMAP r3)
+        headline["hw_flops_util_pct"] = round(util, 2)
+    print(json.dumps(headline), flush=True)
+
+    decode = None
+    if room(90):
+        decode = bench_decode()
+        print(json.dumps({
+            "metric": "r2r_greedy_decode_episodes_per_sec_per_chip",
+            "value": round(decode, 2),
+            "unit": "episodes/s",
+            "vs_baseline": round(decode / REF_DECODE_EPS, 2),
+        }), flush=True)
+        headline["decode_eps_per_sec"] = round(decode, 2)
+        headline["decode_vs_baseline"] = round(decode / REF_DECODE_EPS, 2)
+    else:
+        skip("r2r_greedy_decode_episodes_per_sec_per_chip", 90)
+
+    if room(120):
+        real, _ = bench_train(real_shapes=True, k=1)
+        print(json.dumps({
+            "metric": "r2r_dagger_finetune_eps_per_sec_real_shapes",
+            "value": round(real[0], 2),
+            "unit": "episodes/s",
+            "vs_baseline": round(real[0] / REF_TRAIN_EPS, 2),
+            "note": "val_unseen-like shapes: 200-token instructions, gt "
+                    "5-10 (the headline uses synthetic-average 60/4-7)",
+        }), flush=True)
+    else:
+        skip("r2r_dagger_finetune_eps_per_sec_real_shapes", 120)
+
     # per-dataset fine-tune + decode (VERDICT r3 item 3): REVERIE carries
     # 20 object tokens + the OG head; RxR runs horizon 28, 250-token
     # instructions, 96-node table, nDTW expert
-    for ds, trB, decB in (("reverie", 64, 128), ("rxr", 32, 64)):
+    for ds, trB, decB, est in (("reverie", 64, 128, 150),
+                               ("rxr", 32, 64, 150)):
+        name = f"{ds}_dagger_finetune_episodes_per_sec_per_chip"
+        if not room(est):
+            skip(name, est)
+            continue
         try:
-            tr, _ = bench_train(B=trB, dataset=ds)
+            tr, _ = bench_train(B=trB, dataset=ds, k=3, iters=4)
             dec = bench_decode(B=decB, dataset=ds)
             print(json.dumps({
-                "metric": f"{ds}_dagger_finetune_episodes_per_sec_per_chip",
-                "value": round(tr, 2),
+                "metric": name,
+                **_spread(tr),
                 "unit": "episodes/s",
-                "vs_baseline": round(tr / REF[ds]["train"], 2),
+                "vs_baseline": round(_spread(tr)["value"]
+                                     / REF[ds]["train"], 2),
                 "decode_eps_per_sec": round(dec, 2),
                 "decode_vs_baseline": round(dec / REF[ds]["decode"], 2),
             }), flush=True)
         except Exception as e:  # noqa: BLE001 — publish the failure loudly
             print(json.dumps({
-                "metric": f"{ds}_dagger_finetune_episodes_per_sec_per_chip",
-                "value": None,
+                "metric": name, "value": None,
                 "error": f"{type(e).__name__}: {str(e)[:200]}",
             }), flush=True)
+
     # end-to-end pretrain steady state vs the reference per-task ceilings
-    try:
-        pre = bench_pretrain()
-        for t, eps in pre.items():
-            print(json.dumps({
-                "metric": f"pretrain_{t}_examples_per_sec_end_to_end",
-                "value": round(eps, 1),
-                "unit": "examples/s",
-                "vs_baseline": round(eps / REF_PRETRAIN[t], 2),
-                "note": "includes host batch building (worker pool); "
-                        "baseline = reference zero-compute GPU ceiling",
-            }), flush=True)
-    except Exception as e:  # noqa: BLE001
-        print(json.dumps({"metric": "pretrain_examples_per_sec_end_to_end",
-                          "value": None,
-                          "error": f"{type(e).__name__}: {str(e)[:200]}"}),
-              flush=True)
-    real, _ = bench_train(real_shapes=True)
-    print(json.dumps({
-        "metric": "r2r_dagger_finetune_eps_per_sec_real_shapes",
-        "value": round(real, 2),
-        "unit": "episodes/s",
-        "vs_baseline": round(real / REF_TRAIN_EPS, 2),
-        "note": "val_unseen-like shapes: 200-token instructions, gt 5-10 "
-                "(the headline line uses synthetic-average 60-token/4-7)",
-    }), flush=True)
-    # headline LAST: R2R DAgger fine-tune at the measured-best config
-    # (remat='model', scan unroll 2 — r4 on-chip A/B, ROADMAP)
-    train, util = bench_train()
-    line = {
-        "metric": "r2r_dagger_finetune_episodes_per_sec_per_chip",
-        "value": round(train, 2),
-        "unit": "episodes/s",
-        "vs_baseline": round(train / REF_TRAIN_EPS, 2),
-        "decode_eps_per_sec": round(decode, 2),
-        "decode_vs_baseline": round(decode / REF_DECODE_EPS, 2),
-        "remat_policy": os.environ.get("GOAT_BENCH_REMAT", "model"),
-        "scan_unroll": int(os.environ["GOAT_SCAN_UNROLL"]),
-    }
-    if util is not None:
-        # XLA cost_analysis flops / step time / v5e bf16 peak; the step is
-        # elementwise/data-movement bound, not FLOP bound (ROADMAP r3)
-        line["hw_flops_util_pct"] = round(util, 2)
-    print(json.dumps(line), flush=True)
+    if room(240):
+        try:
+            pre = bench_pretrain()
+            for t, eps in pre.items():
+                print(json.dumps({
+                    "metric": f"pretrain_{t}_examples_per_sec_end_to_end",
+                    "value": round(eps, 1),
+                    "unit": "examples/s",
+                    "vs_baseline": round(eps / REF_PRETRAIN[t], 2),
+                    "note": "includes host batch building (worker pool); "
+                            "baseline = reference zero-compute GPU ceiling",
+                }), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps(
+                {"metric": "pretrain_examples_per_sec_end_to_end",
+                 "value": None,
+                 "error": f"{type(e).__name__}: {str(e)[:200]}"}),
+                flush=True)
+    else:
+        skip("pretrain_examples_per_sec_end_to_end", 240)
+
+    if room(60):
+        spill_rate, drop_rate = bench_rxr_overflow()
+        print(json.dumps({
+            "metric": "rxr_node_table_spills_per_episode",
+            "value": round(spill_rate, 4),
+            "unit": "spills/episode",
+            "dropped_per_episode": round(drop_rate, 4),
+            "note": "96-node table, horizon 28, sampled rollouts; spill "
+                    "policy evicts farthest unvisited (reference GraphMap "
+                    "is unbounded)",
+        }), flush=True)
+    else:
+        skip("rxr_node_table_spills_per_episode", 60)
+
+    # headline re-printed LAST so last-line parsers record the north star
+    headline["total_bench_s"] = round(time.perf_counter() - t_start, 1)
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":
