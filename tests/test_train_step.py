@@ -88,3 +88,31 @@ def test_train_step_on_8_device_mesh(setup):
     state2, metrics2 = step_fn(state, batch, jax.random.PRNGKey(0))
     np.testing.assert_allclose(float(metrics["loss"]), float(metrics2["loss"]),
                                rtol=1e-4)
+
+
+def test_lr_schedule_warmup_and_decay():
+    """--lr_sch parity shapes (agent_base.py:125-130: transformers
+    get_scheduler, warmup 3000, num_training_steps=iters, lr_end=1e-8):
+    linear warmup 0->lr at warmup_steps, then each family's decay law."""
+    from vln_goat_tpu.train.trainer import make_lr_schedule
+
+    lr, warm, total = 2e-5, 100, 1000
+    for name, end in [("linear", 0.0), ("polynomial", 1e-8),
+                      ("cosine", 0.0), ("constant_with_warmup", lr)]:
+        s = make_lr_schedule(name, lr, warm, total)
+        assert float(s(0)) == 0.0, name
+        np.testing.assert_allclose(float(s(warm // 2)), lr / 2, rtol=2e-2)
+        np.testing.assert_allclose(float(s(warm)), lr, rtol=1e-6)
+        # strictly decaying after warmup (except constant_with_warmup)
+        mid, late = float(s((warm + total) // 2)), float(s(total))
+        if name == "constant_with_warmup":
+            np.testing.assert_allclose([mid, late], lr, rtol=1e-6)
+        else:
+            assert lr > mid > late
+            np.testing.assert_allclose(late, end, atol=1e-7)
+    # linear family decays linearly: value at midpoint of decay = lr/2
+    s = make_lr_schedule("linear", lr, warm, total)
+    np.testing.assert_allclose(float(s(warm + (total - warm) // 2)),
+                               lr / 2, rtol=1e-2)
+    # constant is the bare float (no schedule object semantics needed)
+    assert make_lr_schedule("constant", lr, warm, total) == lr

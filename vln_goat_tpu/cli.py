@@ -158,6 +158,15 @@ def parse_args(argv=None):
                    help="jax PRNG implementation for dropout/sampling")
     p.add_argument("--ml_weight", type=float, default=0.2)
     p.add_argument("--grad_clip", type=float, default=40.0)
+    # LR schedule (--use_lr_sch/--lr_sch via transformers get_scheduler,
+    # agent_base.py:125-130: warmup 3000, num_training_steps=iters)
+    p.add_argument("--use_lr_sch", action="store_true")
+    p.add_argument("--lr_sch", default="polynomial",
+                   choices=["constant", "constant_with_warmup", "linear",
+                            "polynomial", "cosine"])
+    p.add_argument("--warmup_steps", type=int, default=3000,
+                   help="lr warmup steps when --use_lr_sch (reference "
+                        "hardcodes 3000)")
     p.add_argument("--max_action_len", type=int, default=None)
     p.add_argument("--max_instr_len", type=int, default=None)
     p.add_argument("--num_nodes", type=int, default=48)
@@ -540,7 +549,8 @@ def _load_speaker(args, rt):
 
     from .speaker.model import SpeakerConfig
     from .speaker.speaker import Speaker
-    from .train.checkpoint import load_orbax
+    from .train.checkpoint import (load_orbax, load_reference_speaker,
+                                   merge_loaded, speaker_torch_to_flax)
 
     cfg = rt["cfg"]
     scfg = SpeakerConfig(
@@ -551,7 +561,16 @@ def _load_speaker(args, rt):
     sp = Speaker(scfg, rng=jax.random.PRNGKey(args.seed + 7))
     params = sp.params
     if args.speaker_ckpt_file:
-        params = load_orbax(os.path.abspath(args.speaker_ckpt_file), params)
+        path = os.path.abspath(args.speaker_ckpt_file)
+        if path.endswith((".pt", ".pth")):
+            # reference transpeaker wrapper (transpeaker.py:329-344)
+            tree, _ = speaker_torch_to_flax(load_reference_speaker(path))
+            params, missing, _ = merge_loaded(params, {"params": tree})
+            if missing:
+                raise ValueError(
+                    f"speaker ckpt left params uncovered: {missing[:5]}")
+        else:
+            params = load_orbax(path, params)
     features = np.asarray(rt["world"].feat, np.float32)
     offsets, total = {}, 0
     for s in rt["scan_order"]:
@@ -579,8 +598,12 @@ def train(args, rt):
     # (agent.py:407-445 zero_grad/accumulate/optim_step)
     accum = (args.aug_times + 1) if (args.accumulate_grad
                                      and aug_batcher is not None) else 1
+    # --use_lr_sch: reference schedules (agent_base.py:125-130); without
+    # it the reference (and we) run constant lr
+    sch_kw = dict(lr_sch=args.lr_sch, warmup_steps=args.warmup_steps,
+                  total_steps=args.iters) if args.use_lr_sch else {}
     tx = make_optimizer(lr=args.lr, grad_clip=args.grad_clip,
-                        accumulate_steps=accum)
+                        accumulate_steps=accum, **sch_kw)
     # teacher-forced episodes end within max_gt_len steps — shorten that
     # scan (loss-identical; trainer.py make_train_step docstring).  With
     # --bucket_caps the horizon follows each batch's bucket cap instead.

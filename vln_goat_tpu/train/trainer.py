@@ -45,14 +45,45 @@ class TrainState:
 jax.tree_util.register_pytree_node_class(TrainState)
 
 
+def make_lr_schedule(name: str, lr: float, warmup_steps: int,
+                     total_steps: int, lr_end: float = 1e-8):
+    """The reference's --lr_sch options (transformers get_scheduler,
+    map_nav_src/r2r/agent_base.py:125-130: warmup 3000, steps=iters,
+    lr_end=1e-8) as optax schedules.  'linear' decays to 0 and
+    'polynomial' (power 1) decays to lr_end, matching transformers."""
+    warm = [optax.linear_schedule(0.0, lr, warmup_steps)] \
+        if warmup_steps else []
+    decay = max(1, total_steps - warmup_steps)
+    if name == "constant":
+        return lr
+    if name == "constant_with_warmup":
+        tail = [optax.constant_schedule(lr)]
+    elif name == "linear":
+        tail = [optax.linear_schedule(lr, 0.0, decay)]
+    elif name == "polynomial":
+        tail = [optax.polynomial_schedule(lr, lr_end, 1.0, decay)]
+    elif name == "cosine":
+        tail = [optax.cosine_decay_schedule(lr, decay)]
+    else:
+        raise ValueError(f"unknown lr_sch {name!r}")
+    if not warm:
+        return tail[0]
+    return optax.join_schedules(warm + tail, [warmup_steps])
+
+
 def make_optimizer(lr: float = 2e-5, weight_decay: float = 0.01,
                    grad_clip: float = 40.0,
                    warmup_steps: int = 0, total_steps: Optional[int] = None,
-                   accumulate_steps: int = 1, finite_guard: bool = False):
+                   accumulate_steps: int = 1, finite_guard: bool = False,
+                   lr_sch: Optional[str] = None):
     """AdamW + global-norm clip (reference defaults).  accumulate_steps>1
     = the reference's --accumulateGrad (agent.py:407-445) as
-    optax.MultiSteps; finite_guard skips non-finite updates."""
-    if warmup_steps and total_steps:
+    optax.MultiSteps; finite_guard skips non-finite updates; lr_sch names
+    a reference --lr_sch schedule (see make_lr_schedule)."""
+    if lr_sch is not None:
+        sched = make_lr_schedule(lr_sch, lr, warmup_steps,
+                                 total_steps or 1)
+    elif warmup_steps and total_steps:
         sched = optax.warmup_cosine_decay_schedule(
             0.0, lr, warmup_steps, total_steps, end_value=lr * 0.01)
     else:
@@ -74,8 +105,7 @@ def make_train_step(rollout: NavRollout, tx,
                     sample_feedback: str = "sample",
                     expl_max_ratio: float = 0.6, remat: str = "full",
                     teacher_horizon: Union[int, str, None] = None,
-                    vectorized_teacher: bool = True,
-                    compact: Optional[str] = None):
+                    vectorized_teacher: bool = True):
     """sample_feedback='expl_sample' replicates --expl_sample runs
     (agent.py:436).
 
@@ -124,18 +154,15 @@ def make_train_step(rollout: NavRollout, tx,
         if h not in _tcache:
             _tcache[h] = _teacher_at(h)
         return _tcache[h](params, batch, rng, txt=txt)
-    # active-episode compaction spec for the on-policy rollouts (the
-    # teacher path is already gt-horizon-bounded); None falls back to the
-    # GOAT_COMPACT env var
     sample_fn = rollout.build_rollout(sample_feedback, train_ml=True,
                                      deterministic=False,
                                      expl_max_ratio=expl_max_ratio,
-                                     remat=remat, compact=compact)
+                                     remat=remat)
     fused_fn = rollout.build_rollout("fused_dagger", train_ml=True,
                                      deterministic=False,
                                      expl_max_ratio=expl_max_ratio,
                                      sample_feedback=sample_feedback,
-                                     remat=remat, compact=compact)
+                                     remat=remat)
 
     def loss_fn(params, batch, rng):
         r1, r2 = jax.random.split(rng)
@@ -231,7 +258,7 @@ def make_train_step_2pass(rollout: NavRollout, tx,
 
     import numpy as np
 
-    from ..rollout.rollout import _COMPACT_SHARED
+    from ..rollout.rollout import _SHARED_BANKS
 
     H = rollout.rcfg.horizon
     allowed_T = sorted({h for h in horizon_buckets if h < H} | {H})
@@ -329,7 +356,7 @@ def make_train_step_2pass(rollout: NavRollout, tx,
         lengths = np.where(je.any(0), je.argmax(0) + 1, H)
         T2, spec = derive_spec(lengths, B)
         order = np.argsort(-lengths, kind="stable")
-        batch_p = {k: (v if k in _COMPACT_SHARED
+        batch_p = {k: (v if k in _SHARED_BANKS
                        or getattr(v, "ndim", 0) == 0
                        or getattr(v, "shape", (0,))[0] != B
                        else jnp.asarray(v)[jnp.asarray(order)])
