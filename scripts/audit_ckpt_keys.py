@@ -128,6 +128,10 @@ def main():
                          "key list from the unmodified reference model")
     ap.add_argument("--plain", action="store_true",
                     help="audit the non-causal (no z-dict) config instead")
+    ap.add_argument("--dump", default=None,
+                    help="write the reference key:shape list to this file "
+                         "(tests/fixtures snapshot for the fast-tier "
+                         "audit test) instead of auditing")
     a = ap.parse_args()
     causal = not a.plain
 
@@ -140,6 +144,16 @@ def main():
     else:
         sd, _ = synth_state_dict(causal)
         src = "reference model state_dict (synthetic, production config)"
+
+    if a.dump:
+        import numpy as np
+
+        with open(a.dump, "w") as f:
+            for k in sorted(sd):
+                shape = ",".join(str(d) for d in np.asarray(sd[k]).shape)
+                f.write(f"{k} {shape}\n")
+        print(f"dumped {len(sd)} keys -> {a.dump}")
+        return 0
 
     loaded = torch_to_flax(sd)
     init = our_init_params(causal)

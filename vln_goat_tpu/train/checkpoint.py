@@ -385,3 +385,87 @@ def load_train_state_params(path: str) -> Any:
     like = jax.tree.map(lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype),
                         tree)
     return ckptr.restore(path, like)["params"]
+
+
+# ----------------------------------------------------------------------
+# Transpeaker checkpoints.  Reference save format (r2r/transpeaker.py:
+# 329-344): {'transpeaker': {'epoch': N, 'state_dict': {...}, 'optimizer':
+# ...}}; its load deletes any 'progress' keys and restores strict
+# (transpeaker.py:345-363).
+_SPK_ATTN = ("W_Q", "W_K", "W_V", "fc")
+
+
+def speaker_torch_to_flax(state_dict: Dict[str, np.ndarray]):
+    """Map a reference Transpeaker state_dict to our TranspeakerModel
+    param tree (speaker/model.py).  Name map (models/transpeaker_model.py
+    :157-256 -> ours):
+
+      encoder.down_size                         -> encoder_down_size
+      encoder.image_self_attn.{W_Q,W_K,W_V,fc}  -> encoder_image_self_attn.*
+      encoder.layers.I.enc_self_attn.*          -> enc_I_self_attn.*
+      encoder.layers.I.pos_ffn.fc.{0,3}         -> enc_I_ffn.fc_{0,3}
+      decoder.embedding                         -> embedding (no transpose)
+      decoder.layers.I.dec_self_attn.*          -> dec_I_self_attn.*
+      decoder.layers.I.dec_enc_attn.*           -> dec_I_enc_attn.*
+      decoder.layers.I.pos_ffn.fc.{0,3}         -> dec_I_ffn.fc_{0,3}
+      projection                                -> projection (bias-free)
+
+    The {encoder,decoder}.pos_emb.pe sinusoid buffers have no parameter
+    counterpart (we compute sinusoid_table inline) and are skipped, like
+    the reference's own 'progress' deletion.  Returns (tree, skipped)."""
+    tree: Dict[str, Any] = {}
+    skipped = []
+    for key, val in state_dict.items():
+        if key.startswith("module."):
+            key = key[len("module."):]
+        if key.endswith("pos_emb.pe") or "progress" in key:
+            skipped.append(key)
+            continue
+        parts = key.split(".")
+        arr = np.asarray(val)
+        m = re.match(
+            r"(encoder|decoder)\.layers\.(\d+)\.(enc_self_attn|"
+            r"dec_self_attn|dec_enc_attn|pos_ffn)\.(.*)", key)
+        if m:
+            side, i, mod, rest = m.groups()
+            pre = "enc" if side == "encoder" else "dec"
+            if mod == "pos_ffn":
+                fcix = rest.split(".")[1]          # fc.{0,3}.weight
+                path = (f"{pre}_{i}_ffn", f"fc_{fcix}")
+            else:
+                name = {"enc_self_attn": "self_attn",
+                        "dec_self_attn": "self_attn",
+                        "dec_enc_attn": "enc_attn"}[mod]
+                path = (f"{pre}_{i}_{name}", rest.split(".")[0])
+        elif key.startswith("encoder.down_size."):
+            path = ("encoder_down_size",)
+        elif key.startswith("encoder.image_self_attn."):
+            path = ("encoder_image_self_attn", parts[2])
+        elif key == "decoder.embedding.weight":
+            _set(tree, ("embedding", "embedding"), jnp.asarray(arr))
+            continue
+        elif key.startswith("projection."):
+            path = ("projection",)
+        else:
+            skipped.append(key)
+            continue
+        leaf = parts[-1]
+        if leaf == "weight":
+            _set(tree, path + ("kernel",), jnp.asarray(arr.T))
+        elif leaf == "bias":
+            _set(tree, path + ("bias",), jnp.asarray(arr))
+        else:
+            skipped.append(key)
+    return tree, skipped
+
+
+def load_reference_speaker(path: str) -> Dict[str, np.ndarray]:
+    """Load the reference Transpeaker .pt wrapper -> flat numpy state
+    dict (transpeaker.py:329-344 format; tolerates a bare state_dict)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "transpeaker" in obj:
+        obj = obj["transpeaker"]["state_dict"]
+    return {k: v.detach().cpu().numpy() if hasattr(v, "detach") else
+            np.asarray(v) for k, v in obj.items()}
