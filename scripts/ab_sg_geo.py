@@ -1,7 +1,10 @@
-"""A/B for GOAT_SG_GEO (stop_gradient on geometry features at the model
-boundary): asserts d(loss)/d(params) is IDENTICAL with the flag on/off
-(the features are param-independent, so stopping their gradient is exact),
-and reports compiled-HLO size + (on chip) step time for each setting.
+"""Exactness assertion for the geometry-feature gradient boundary:
+monkeypatches rollout._sg (identity seam) to lax.stop_gradient and asserts
+d(loss)/d(params) is IDENTICAL either way — i.e. JAX's symbolic-zero
+propagation already prunes the geometry VJP chains, so no stop_gradient
+machinery is needed in the library (the r4 GOAT_SG_GEO flag was removed on
+the strength of this invariant).  Also reports compiled-HLO size + (on
+chip) step time for each setting.
 
 Usage: JAX_PLATFORMS=cpu python scripts/ab_sg_geo.py        # exactness + HLO
        python scripts/ab_sg_geo.py --time                   # on-chip timing
@@ -84,9 +87,11 @@ def main():
     timing = "--time" in sys.argv
     B = int(os.environ.get("GOAT_BENCH_TRAIN_B", "64" if timing else "8"))
     tiny = not timing
+    from vln_goat_tpu.rollout import rollout as R
+
     results = {}
     for flag in ("0", "1"):
-        os.environ["GOAT_SG_GEO"] = flag
+        R._sg = (lambda x: x) if flag == "0" else jax.lax.stop_gradient
         params, m, step, state, batch, rng = grads_of(B, tiny)
         lowered = step.lower(state, batch, rng).compile()
         hlo_lines = len(lowered.as_text().splitlines())
@@ -105,7 +110,7 @@ def main():
             float(mm["loss"])
             row["eps_s"] = B * iters / (time.perf_counter() - t0)
         results[flag] = row
-        print(f"GOAT_SG_GEO={flag}: loss={row['loss']:.6f} "
+        print(f"sg_geo={flag}: loss={row['loss']:.6f} "
               f"grad_norm={row['grad_norm']:.6f} hlo={hlo_lines}"
               + (f" eps/s={row['eps_s']:.1f}" if timing else ""), flush=True)
 

@@ -1,9 +1,12 @@
-"""Round-4 batch 7: gt-length-bucketed batches (teacher scan at the bucket
-cap) and the two-pass DAgger variant vs the same-session control, with a
-repeated control row to expose within-session drift.
+"""Round-5 A/B: bf16 scan carries (GOAT_BF16_CARRY stores embed_sum /
+last_embeds in bfloat16 — the dominant carried tensors in the rollout
+scans) vs the same-session control, alone and stacked with gt-length
+bucketing.  VERDICT r4 item 6: the rollout step is elementwise/
+data-movement bound (~500ms VPU vs ~152ms matmul per iter), and the
+carried embed state is re-saved by the backward each step.
 
-Every config runs in its own subprocess (env leakage lesson, r3 batch
-scripts); iters raised for bucketed rows so the bucket mix averages out.
+Every config runs in its own subprocess (env leakage lesson); a repeated
+control row exposes within-session drift.
 """
 import os
 import subprocess
@@ -12,23 +15,21 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 CONFIGS = [
-    # (tag, alg, bucket, sg_geo, iters)
-    ("control", "dagger", "", "0", 16),
-    ("2pass", "dagger_2pass", "", "0", 24),
-    ("2pass + bucket 5,8", "dagger_2pass", "5,8", "0", 24),
-    ("bucket 5,8", "dagger", "5,8", "0", 24),
-    ("bucket 4,6,8", "dagger", "4,6,8", "0", 24),
-    ("control (repeat)", "dagger", "", "0", 16),
+    # (tag, bucket, bf16_carry, iters)
+    ("control", "", "0", 16),
+    ("bf16 carry", "", "1", 16),
+    ("bf16 carry + bucket 5,8", "5,8", "1", 24),
+    ("control (repeat)", "", "0", 16),
 ]
 
 results = {}
-for tag, alg, bucket, sg, iters in CONFIGS:
+for tag, bucket, carry, iters in CONFIGS:
     print(f"=== {tag} ===", flush=True)
     env = dict(os.environ, GOAT_SCAN_UNROLL="2", GOAT_BUCKET=bucket,
-               GOAT_PRNG="rbg")
+               GOAT_BF16_CARRY=carry, GOAT_PRNG="rbg")
     p = subprocess.run(
         [sys.executable, os.path.join(HERE, "bench_train.py"),
-         "--alg", alg, "--B", "64", "--remat", "model",
+         "--alg", "dagger", "--B", "64", "--remat", "model",
          "--iters", str(iters)],
         env=env, capture_output=True, text=True, timeout=5400)
     out = p.stdout.strip().splitlines()

@@ -267,27 +267,6 @@ class GoatModel(nn.Module):
         }
 
     # ------------------------------------------------------------------
-    def nav_grouped_weights(self):
-        """Stacked [2, ...] global/local encoder weights for the grouped
-        dual-branch path — computed ONCE per rollout (outside the scan, a
-        loop-invariant operand) so neither the stacking nor the bf16 cast
-        of ~70MB of weights is replayed per step / per remat recompute.
-        Dense kernels are pre-cast to the compute dtype; LayerNorm params
-        stay f32 (their multiply happens in f32, _LNWeights parity)."""
-        from .layers import stack_group_params
-
-        st = stack_group_params(
-            self.global_encoder.encoder.variables["params"],
-            self.local_encoder.encoder.variables["params"])
-
-        def cast(path, x):
-            if path[-1].key == "kernel":
-                return x.astype(self.dtype)
-            return x
-
-        return jax.tree_util.tree_map_with_path(cast, st)
-
-    # ------------------------------------------------------------------
     # mode: 'navigation' (vilmodel_GOAT.py:739-839)
     def forward_navigation(
         self, txt_embeds, txt_masks,
@@ -296,7 +275,7 @@ class GoatModel(nn.Module):
         vp_img_embeds, vp_pos_fts, vp_masks, vp_nav_masks,
         local_to_gmap, vp_obj_masks=None,
         front_vp_feats=None, front_gmap_feats=None, txt_kv=None,
-        nav_w=None, deterministic=True,
+        deterministic=True,
     ) -> Dict[str, jnp.ndarray]:
         c = self.config
 
@@ -313,52 +292,18 @@ class GoatModel(nn.Module):
             vp_embeds = self.front_local_encoder(
                 vp_embeds, front_vp_feats, vp_masks, deterministic)
 
-        # grouped dual-branch path: both ~50-token encoders run as ONE
-        # stacked-weight computation (layers.grouped_dual_cross_encoder) —
-        # the rollout scan's per-step matmuls double their rows and halve
-        # their dispatch count.  Same math; requires the caller to hoist
-        # nav_w (nav_grouped_weights) and txt_kv out of its step loop.
-        use_grouped = (nav_w is not None and txt_kv is not None
-                       and not self.is_initializing())
-        if use_grouped:
-            from .layers import grouped_dual_cross_encoder
-
-            G = gmap_embeds.shape[1]
-            Ll = vp_embeds.shape[1]
-            Lm = max(G, Ll)
-            B = gmap_embeds.shape[0]
-
-            def padL(x, val=0.0):
-                pad = [(0, 0)] * x.ndim
-                pad[1] = (0, Lm - x.shape[1])
-                return jnp.pad(x, pad, constant_values=val)
-
-            h0 = jnp.stack([padL(gmap_embeds), padL(vp_embeds)])
-            neg_g = extend_neg_masks(padL(gmap_masks, False))   # [B,1,1,Lm]
-            neg_l = extend_neg_masks(padL(vp_masks, False))
-            bias_g = jnp.broadcast_to(neg_g, (B, 1, Lm, Lm))
-            if graph_sprels is not None:
-                sp = jnp.pad(graph_sprels.astype(jnp.float32),
-                             ((0, 0), (0, 0), (0, Lm - G), (0, Lm - G)))
-                bias_g = bias_g + sp
-            bias_l = jnp.broadcast_to(neg_l, (B, 1, Lm, Lm))
-            self_bias = jnp.stack([bias_g, bias_l])    # [2, B, 1, Lm, Lm]
-            cross_bias = extend_neg_masks(txt_masks)
-            out = grouped_dual_cross_encoder(
-                self, nav_w, h0, self_bias, cross_bias,
-                txt_kv["global"], txt_kv["local"], c, self.dtype,
-                deterministic=deterministic)
-            gmap_embeds = out[0][:, :G]
-            vp_embeds = out[1][:, :Ll]
-        else:
-            gmap_embeds = self.global_encoder.encoder(
-                gmap_embeds, gmap_masks, txt_embeds, txt_masks,
-                graph_sprels=graph_sprels, deterministic=deterministic,
-                kv_caches=None if txt_kv is None else txt_kv["global"])
-            vp_embeds = self.local_encoder.encoder(
-                vp_embeds, vp_masks, txt_embeds, txt_masks,
-                deterministic=deterministic,
-                kv_caches=None if txt_kv is None else txt_kv["local"])
+        # (a grouped dual-branch variant that ran both ~50-token encoders
+        # as one stacked-weight computation was pruned in r5: it measured
+        # SLOWER on chip, 84.8 vs 96.5 eps/s — padding both branches to a
+        # common length outweighed the halved dispatch count)
+        gmap_embeds = self.global_encoder.encoder(
+            gmap_embeds, gmap_masks, txt_embeds, txt_masks,
+            graph_sprels=graph_sprels, deterministic=deterministic,
+            kv_caches=None if txt_kv is None else txt_kv["global"])
+        vp_embeds = self.local_encoder.encoder(
+            vp_embeds, vp_masks, txt_embeds, txt_masks,
+            deterministic=deterministic,
+            kv_caches=None if txt_kv is None else txt_kv["local"])
 
         # fusion weights (vilmodel_GOAT.py:777-786)
         if c.glocal_fuse:

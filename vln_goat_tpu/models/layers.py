@@ -335,114 +335,6 @@ class CrossmodalEncoder(nn.Module):
         return h
 
 
-def stack_group_params(pg, pl):
-    """Stack two structurally-identical param trees leaf-wise along a new
-    leading group axis (the grouped dual-branch encoder's weight layout)."""
-    return jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]), pg, pl)
-
-
-def grouped_dual_cross_encoder(parent, ps, h, self_bias, cross_bias,
-                               kv_caches_g, kv_caches_l, config, dtype,
-                               deterministic=True):
-    """Run TWO CrossmodalEncoder stacks (global-map + local branches of
-    forward_navigation) as ONE grouped computation.
-
-    The navigation step's two branches are independent transformers with
-    ~50-token sequences — individually too small to fill the MXU, and
-    issued as 2x the kernel count inside the rollout scan (the profiled
-    bottleneck: the nav scan runs at ~32% MFU).  Stacking their weights
-    [2, D, F] and tokens [2, B, L, D] turns every pair of matmuls into one
-    batched dot_general with twice the rows, and halves the number of
-    softmax/LayerNorm/dropout dispatches.  Numerics are the exact same
-    operations (tests/test_grouped_nav.py: deterministic parity vs the two
-    separate encoder calls); under dropout the draws differ (one mask over
-    both groups — same Bernoulli distributions, documented divergence).
-
-    Args:
-      parent: bound flax module (for make_rng under dropout).
-      ps: pre-stacked [2, ...] param tree (GoatModel.nav_grouped_weights) —
-        stacked ONCE outside the caller's step loop, never per step.
-      h: [2, B, L, D] padded token stacks (group 0 = gmap, 1 = local).
-      self_bias: [2, B, 1, L, L] additive self-attention bias (key masks;
-        group 0 already includes graph_sprels, Bert_backbone.py:675-676).
-      cross_bias: [B, 1, 1, Lk] additive text mask (shared by both groups).
-      kv_caches_g / kv_caches_l: per-layer (k, v) text projections from
-        CrossmodalEncoder(kv_only=True), each [B, Lk, D].
-    Returns [2, B, L, D]; caller slices each group back to its real length.
-    """
-    c = config
-    H, hd = c.num_attention_heads, c.head_dim
-    D = H * hd
-    n = c.num_x_layers
-    if cross_bias is not None:
-        cross_bias = cross_bias[None]          # broadcast over the group dim
-
-    def drop(x, rate):
-        # nn.Dropout equivalence: bernoulli(keep) mask, x/keep scaling
-        if deterministic or rate == 0.0:
-            return x
-        keep = 1.0 - rate
-        mask = jax.random.bernoulli(parent.make_rng("dropout"), keep, x.shape)
-        return jnp.where(mask, x / keep, jnp.zeros_like(x))
-
-    def dense(p, x):
-        # _ProjWeights math: x.astype(dtype) @ kernel.astype(dtype) + bias
-        y = jnp.einsum("gbld,gdf->gblf", x.astype(dtype),
-                       p["kernel"].astype(dtype))
-        return y + p["bias"].astype(dtype)[:, None, None, :]
-
-    def ln(p, x):
-        # _LNWeights math: f32 stats, fast variance, f32 scale/shift
-        x32 = x.astype(jnp.float32)
-        mu = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.maximum(
-            jnp.mean(x32 * x32, axis=-1, keepdims=True) - mu * mu, 0.0)
-        y = (x32 - mu) * jax.lax.rsqrt(var + c.layer_norm_eps)
-        return (y * p["scale"][:, None, None, :]
-                + p["bias"][:, None, None, :]).astype(dtype)
-
-    sm_dtype = jnp.bfloat16 if os.environ.get("GOAT_BF16_SOFTMAX") \
-        else jnp.float32
-
-    def attend(q, k, v, bias):
-        G2, B, Lq = q.shape[:3]
-        Lk = k.shape[2]
-        q = q.reshape(G2, B, Lq, H, hd)
-        k = k.reshape(G2, B, Lk, H, hd)
-        v = v.reshape(G2, B, Lk, H, hd)
-        s = jnp.einsum("gbqhd,gbkhd->gbhqk", q, k) / math.sqrt(hd)
-        if bias is not None:
-            s = s + bias.astype(s.dtype)
-        p = jax.nn.softmax(s.astype(sm_dtype), axis=-1).astype(dtype)
-        p = drop(p, c.attention_probs_dropout_prob)
-        ctx = jnp.einsum("gbhqk,gbkhd->gbqhd", p, v)
-        return ctx.reshape(G2, B, Lq, D)
-
-    h = h.astype(dtype)
-    for i in range(n):
-        lp = ps[f"crossattention_{i}"]
-        # --- self-attention sublayer (BertAttention 'attention')
-        ap = lp["attention"]
-        ctx = attend(dense(ap["self"]["query"], h),
-                     dense(ap["self"]["key"], h),
-                     dense(ap["self"]["value"], h), self_bias)
-        o = drop(dense(ap["output"]["dense"], ctx), c.hidden_dropout_prob)
-        h = _ckpt_name(ln(ap["output"]["LayerNorm"], o + h), "blk")
-        # --- cross-attention sublayer (cached text K/V)
-        cp = lp["crossattention"]
-        kx = jnp.stack([kv_caches_g[i][0], kv_caches_l[i][0]]).astype(dtype)
-        vx = jnp.stack([kv_caches_g[i][1], kv_caches_l[i][1]]).astype(dtype)
-        ctx = attend(dense(cp["self"]["query"], h), kx, vx, cross_bias)
-        o = drop(dense(cp["output"]["dense"], ctx), c.hidden_dropout_prob)
-        h = _ckpt_name(ln(cp["output"]["LayerNorm"], o + h), "blk")
-        # --- FFN sublayer
-        w = _ckpt_name(dense(lp["intermediate"]["dense"], h), "ffn_wide")
-        w = _ckpt_name(ACT2FN[c.hidden_act](w), "ffn_wide")
-        o = drop(dense(lp["output"]["dense"], w), c.hidden_dropout_prob)
-        h = _ckpt_name(ln(lp["output"]["LayerNorm"], o + h), "blk")
-    return h
-
-
 class TorchMultiheadAttention(nn.Module):
     """torch.nn.MultiheadAttention equivalent (packed qkv in torch; we keep
     separate q/k/v Dense — the checkpoint converter splits in_proj)."""

@@ -119,33 +119,26 @@ def _scan_unroll() -> int:
     return int(os.environ.get("GOAT_SCAN_UNROLL", "1"))
 
 
-# batch entries that are SHARED banks, not per-episode rows — the
-# active-episode compaction must not gather/slice these
-_COMPACT_SHARED = frozenset({
+# batch entries that are SHARED banks, not per-episode rows — consumers
+# that slice/permute a batch by episode (the two-pass DAgger replay's
+# length sort) must carry these through untouched
+_SHARED_BANKS = frozenset({
     "feat_noise", "img_z_features", "img_z_pzs",
     "front_txt_feats", "front_vp_feats", "front_gmap_feats",
 })
 
 
-def _compact_spec(compact: Optional[str], horizon: int, B: int):
-    """Parse an active-episode compaction spec "t1:d1,t2:d2" (env fallback
-    GOAT_COMPACT) into [(boundary_step, divisor), ...], keeping only
-    boundaries inside the horizon with divisors that divide B; divisors
-    must be increasing."""
-    spec = compact if compact is not None \
-        else os.environ.get("GOAT_COMPACT", "")
-    out = []
-    last_d = 1
-    for part in str(spec).split(","):
-        part = part.strip()
-        if not part:
-            continue
-        t, d = part.split(":")
-        t, d = int(t), int(d)
-        if 0 < t < horizon and d > last_d and B % d == 0 and B // d >= 1:
-            out.append((t, d))
-            last_d = d
-    return out
+def _carry_dtype():
+    """Storage dtype for the NON-SEMANTIC scan carries (GOAT_BF16_CARRY=1
+    -> bfloat16; default f32).  embed_sum [B,N+1,D] is the dominant
+    carried tensor (~9.6MB f32 at B=64/768) and, with last_embeds, only
+    feeds the model — which runs bf16 compute anyway — so halving its
+    storage halves the per-step carry traffic the backward re-saves.  The
+    SEMANTIC tables (edist/ehops/enext min-plus geometry, stop_prob
+    backtrack comparisons, embed_cnt) stay exact f32/int32; reference
+    semantics those must match: graph_utils.py:62-144."""
+    return jnp.bfloat16 if os.environ.get("GOAT_BF16_CARRY", "0") == "1" \
+        else jnp.float32
 
 
 def _use_onehot() -> bool:
@@ -166,26 +159,17 @@ def _use_onehot() -> bool:
     return os.environ.get("GOAT_ONEHOT", "1") == "1"
 
 
-def _sg_geo() -> bool:
-    """stop_gradient on the f32 geometry features where they enter the
-    model (GOAT_SG_GEO, default 0 until the on-chip A/B lands).
-
-    In the reference these tensors (pano img/loc features, gmap/vp position
-    features, pair-distance biases) are built with numpy on the host every
-    step (agent.py:86-304) — they are leaf CONSTANTS with requires_grad
-    False, so no gradient ever flows through the GraphMap bookkeeping.
-    Here they are jnp values computed from the scan carries (edist/ehops
-    Floyd-Warshall tables), so unless JAX's symbolic-zero propagation
-    prunes them, the scan backward drags cotangents through the min-plus
-    relax / one-hot contraction chains for 15 steps — work whose result is
-    d(loss)/d(constants), discarded.  stop_gradient at the model-input
-    boundary is value- AND gradient-exact (the features do not depend on
-    params) and severs those chains at trace time."""
-    return os.environ.get("GOAT_SG_GEO", "0") == "1"
-
-
 def _sg(x):
-    return jax.lax.stop_gradient(x) if _sg_geo() else x
+    """Identity seam at the geometry-feature model boundary.  In the
+    reference these tensors (pano loc features, gmap/vp position features,
+    pair-distance biases) are host-built numpy constants (agent.py:86-304)
+    with no gradient; here they are jnp values derived from the scan
+    carries.  A round-4 A/B (scripts/ab_sg_geo.py) proved that inserting
+    stop_gradient here is a no-op: grads are bit-identical and the
+    optimized HLO is byte-identical — JAX's symbolic-zero propagation
+    already prunes the geometry VJP chains.  The hook stays so
+    ab_sg_geo.py can re-assert that invariant by monkeypatching it."""
+    return x
 
 
 def _esum(spec, *ops):
@@ -285,12 +269,14 @@ class NavRollout:
             n_nodes=jnp.ones((B,), jnp.int32),
             visited=jnp.zeros((B, N1), bool),
             step_id=jnp.zeros((B, N1), jnp.int32),
-            embed_sum=jnp.zeros((B, N1, D), jnp.float32),
+            embed_sum=jnp.zeros((B, N1, D), _carry_dtype()),
             embed_cnt=jnp.zeros((B, N1), jnp.float32),
             stop_prob=jnp.full((B, N1), -jnp.inf, jnp.float32),
             edist=jnp.full((B, N1, N1), INF_DIST, jnp.float32)
                   * (1 - jnp.eye(N1)[None]),
-            ehops=jnp.zeros((B, N1, N1), jnp.float32),
+            # hop counts are small ints (<= 2*horizon << 256): exact in
+            # bf16, so the carry-compaction flag covers this table too
+            ehops=jnp.zeros((B, N1, N1), _carry_dtype()),
             enext=jnp.broadcast_to(jnp.arange(N1, dtype=jnp.int32)[None, None, :]
                                    * jnp.eye(N1, dtype=jnp.int32)[None]
                                    - (1 - jnp.eye(N1, dtype=jnp.int32)[None]),
@@ -299,12 +285,11 @@ class NavRollout:
             view_ix=batch["start_view"].astype(jnp.int32),
             ended=jnp.zeros((B,), bool),
             # stable per-episode id: sampling keys derive from it so the
-            # draws are invariant to batch position (required for the
-            # active-episode compaction to reproduce full-batch
-            # trajectories; also makes sampled rollouts reproducible
-            # under any batch recomposition)
+            # draws are invariant to batch position — sampled rollouts
+            # reproduce identically under any batch recomposition
+            # (shuffling, slicing, bucketing)
             uid=jnp.arange(B, dtype=jnp.int32),
-            last_embeds=jnp.zeros((B, D), jnp.float32),
+            last_embeds=jnp.zeros((B, D), _carry_dtype()),
             # candidates dropped because the fixed node table was full
             # (reference GraphMap is unbounded; surfacing this makes the
             # capacity degradation observable instead of silent)
@@ -599,15 +584,10 @@ class NavRollout:
         if os.environ.get("GOAT_TXT_KV", "1") == "1":
             txt_kv = model.apply(params, txt_embeds,
                                  method=GoatModel.forward_text_kv)
-        # grouped dual-branch nav encoder: stacked [2,...] weights hoisted
-        # out of the scan.  Opt-in (GOAT_GROUPED_NAV=1): the grouped form
-        # measured SLOWER on chip (84.8 vs 96.5 eps/s train).
-        nav_w = None
-        if (txt_kv is not None
-                and os.environ.get("GOAT_GROUPED_NAV", "0") == "1"
-                and not getattr(self.mcfg, "use_pallas_attention", False)):
-            nav_w = model.apply(params, method=GoatModel.nav_grouped_weights)
-        return dict(embeds=txt_embeds, kv=txt_kv, nav_w=nav_w)
+        # (a grouped dual-branch nav encoder — stacked [2,...] weights
+        # hoisted out of the scan — was tried in r3/r4 and measured SLOWER
+        # on chip, 84.8 vs 96.5 eps/s train; pruned in r5)
+        return dict(embeds=txt_embeds, kv=txt_kv)
 
     # ------------------------------------------------------------------
     def _pano_inputs(self, st, batch, cur_vp=None, view_ix=None,
@@ -696,10 +676,6 @@ class NavRollout:
             loc = jnp.concatenate([loc, obj_loc], axis=1)
             nav_types = jnp.concatenate(
                 [nav_types, jnp.full((B, Lo), 2, jnp.int32)], axis=1)
-        if objs is not None and _sg_geo():
-            objs = {k: (_sg(v) if isinstance(v, jnp.ndarray)
-                        and jnp.issubdtype(v.dtype, jnp.floating) else v)
-                    for k, v in objs.items()}
         return dict(img=_sg(img), loc=_sg(loc), nav_types=nav_types,
                     mask=view_mask, objs=objs, cands=cands, cam_h=cam_h,
                     cam_e=cam_e, cur_vp=cur_vp)
@@ -992,7 +968,7 @@ class NavRollout:
                       expl_max_ratio: float = 0.6,
                       sample_feedback: str = "sample",
                       remat: str = "full", record_logits: bool = False,
-                      exit_chunk: int = 0, compact: Optional[str] = None,
+                      exit_chunk: int = 0,
                       record_actions: bool = False):
         """Returns rollout(params, batch, rng) -> outputs dict.  `feedback`
         in {teacher, sample, argmax, expl_sample, fused_dagger}
@@ -1080,7 +1056,7 @@ class NavRollout:
             if txt is None:
                 txt = self.encode_text(params, batch, rng_txt,
                                        deterministic=deterministic)
-            txt_embeds, txt_kv, nav_w = txt["embeds"], txt["kv"], txt["nav_w"]
+            txt_embeds, txt_kv = txt["embeds"], txt["kv"]
             txt_masks = batch["txt_masks"]
 
             st = self.init_state(
@@ -1088,20 +1064,17 @@ class NavRollout:
 
             onehot = _use_onehot()
 
-            # `cur` holds the per-episode tensors the step body reads.
-            # The active-episode compaction path (below) re-traces the scan
-            # body on permuted/sliced views of these at chunk boundaries by
-            # swapping them here before each trace — every row-level
-            # computation in the step is episode-independent, so a step
-            # traced at a smaller batch computes bit-identical per-episode
-            # values.
+            # `cur` holds the per-episode tensors the step body reads;
+            # every row-level computation in the step is episode-
+            # independent, so a step traced on any slice/permutation of
+            # these computes bit-identical per-episode values.
             cur = dict(batch=batch, txt_embeds=txt_embeds, txt_kv=txt_kv,
-                       nav_w=nav_w, txt_masks=txt_masks, B0=B)
+                       txt_masks=txt_masks, B0=B)
 
             def step(st, xs):
                 batch = cur["batch"]
                 txt_embeds, txt_kv = cur["txt_embeds"], cur["txt_kv"]
-                nav_w, txt_masks = cur["nav_w"], cur["txt_masks"]
+                txt_masks = cur["txt_masks"]
                 B = batch["scan_idx"].shape[0]
                 bidx = jnp.arange(B)
                 t, rng_t = xs
@@ -1184,7 +1157,8 @@ class NavRollout:
                         * addf[..., None]
                     st = {**st,
                           "embed_sum": st["embed_sum"] + _esum(
-                              "bkn,bkd->bnd", oh_t, pe),
+                              "bkn,bkd->bnd", oh_t, pe
+                              ).astype(st["embed_sum"].dtype),
                           "embed_cnt": st["embed_cnt"] + _esum(
                               "bkn,bk->bn", oh_t, addf)}
                 else:
@@ -1205,10 +1179,12 @@ class NavRollout:
                     nav_in["front_gmap_feats"] = batch["front_gmap_feats"]
                 outs = apply(params, rn, GoatModel.forward_navigation,
                              txt_embeds, txt_masks, ckpt=True,
-                             txt_kv=txt_kv, nav_w=nav_w, **nav_in)
+                             txt_kv=txt_kv, **nav_in)
                 logits = outs["fused_logits"]
                 st = {**st, "last_embeds": jnp.where(
-                    act[:, None], outs["cls_embeds"], st["last_embeds"])}
+                    act[:, None],
+                    outs["cls_embeds"].astype(st["last_embeds"].dtype),
+                    st["last_embeds"])}
 
                 probs = jax.nn.softmax(logits, axis=1)
                 if onehot:
@@ -1283,10 +1259,9 @@ class NavRollout:
                     # draws keyed by EPISODE UID, not batch row: one
                     # vectorized draw over the full uid space, gathered by
                     # st['uid'] — invariant to batch position/composition
-                    # (the compaction path reproduces full-batch
-                    # trajectories exactly; shuffled batches resample
-                    # identically).  Per-row vmap(fold_in)+vmap(sample)
-                    # was measured ~40x slower on TPU.
+                    # (shuffled/sliced batches resample identically).
+                    # Per-row vmap(fold_in)+vmap(sample) was measured
+                    # ~40x slower on TPU.
                     k = jax.random.fold_in(rng_t, salt)
                     full = sampler(k, (cur["B0"],) + shape)
                     return full[st["uid"]]
@@ -1350,7 +1325,8 @@ class NavRollout:
                     "bn,bn->b", _ohf(st["cur"], N + 1),
                     _pick_col(st["ehops"], tgt_node)) if onehot \
                     else st["ehops"][bidx, st["cur"], tgt_node]
-                seg_hops = jnp.where(moves, hops_ct, 0.0)
+                seg_hops = jnp.where(moves, hops_ct,
+                                     0.0).astype(jnp.float32)
 
                 # extend the incremental DTW row with the traversed segment
                 if "dtw_row" in st:
@@ -1535,113 +1511,7 @@ class NavRollout:
                         z["cur_vp_t"] = jnp.full((C, Bz), -1, jnp.int32)
                     return z
 
-                # active-episode compaction: by mid-horizon most episodes
-                # have ended (policy stop / goal arrival) yet a plain scan
-                # keeps paying full-B model calls for masked no-ops.  At
-                # each boundary t:d in `compact` ("6:2,10:4"), stable-sort
-                # episodes so actives form a prefix and — when they fit —
-                # run the remaining chunk's scan (fwd AND bwd) at B/d on
-                # that prefix only; the ended tail is carried through
-                # untouched (its true step records ARE the zero defaults).
-                # Per-episode math is row-independent, so the compacted
-                # trace computes identical losses/grads (test_compact.py);
-                # only dropout draws differ (documented randomness-parity
-                # divergence, like the rbg PRNG).  lax.cond falls back to
-                # the full-B scan when actives exceed the slice.
-                cspec = _compact_spec(compact, T, B) if not exit_chunk \
-                    else []
-                if cspec:
-                    # CAUTION: jax.lax.scan caches body traces by the
-                    # FUNCTION OBJECT's identity, so a step that reads
-                    # mutated closure state silently replays the first
-                    # chunk's constants.  Every chunk therefore scans a
-                    # FRESH `make_step(ctx)` closure over an explicit
-                    # per-chunk ctx (verified by tests/test_compact.py).
-                    def make_step(ctx):
-                        def step_ctx(st_c, xs):
-                            saved = dict(cur)
-                            cur.update(ctx)
-                            try:
-                                return step(st_c, xs)
-                            finally:
-                                cur.update(saved)
-                        return step_ctx
-
-                    def slice_ctx(ctx, sel):
-                        out = dict(ctx)
-                        out["batch"] = {
-                            k: (v if k in _COMPACT_SHARED else sel(v))
-                            for k, v in ctx["batch"].items()}
-                        for ck in ("txt_embeds", "txt_kv", "nav_w",
-                                   "txt_masks"):
-                            if ctx[ck] is not None:
-                                out[ck] = jax.tree.map(sel, ctx[ck])
-                        return out
-
-                    ctx_now = dict(cur)
-                    bounds = [0] + [t for t, _ in cspec] + [T]
-                    divs = [1] + [d for _, d in cspec]
-                    perm_now = jnp.arange(B)
-                    permuted = False
-                    chunks = []
-                    for seg_i in range(len(divs)):
-                        a, b = bounds[seg_i], bounds[seg_i + 1]
-                        if a >= b:
-                            continue
-                        xs_c = (jnp.arange(a, b), keys[a:b])
-                        C = b - a
-                        div = divs[seg_i]
-                        if div > 1:
-                            order = jnp.argsort(
-                                st["ended"].astype(jnp.int8), stable=True)
-                            perm_now = perm_now[order]
-                            permuted = True
-                            st = jax.tree.map(lambda x: x[order], st)
-                            ctx_now = slice_ctx(ctx_now,
-                                                lambda x: x[order])
-                            Bc = B // div
-                            n_active = B - jnp.sum(st["ended"])
-                            ctx_small = slice_ctx(ctx_now,
-                                                  lambda x: x[:Bc])
-
-                            def run_small(st_o, xs_c=xs_c, Bc=Bc, C=C,
-                                          ctx_small=ctx_small):
-                                head = jax.tree.map(
-                                    lambda x: x[:Bc], st_o)
-                                head, rc = jax.lax.scan(
-                                    wrap(make_step(ctx_small)), head,
-                                    xs_c, unroll=_scan_unroll())
-                                st2 = jax.tree.map(
-                                    lambda h, f: jnp.concatenate(
-                                        [h, f[Bc:]], axis=0), head, st_o)
-                                rc = jax.tree.map(
-                                    lambda hc, z: jnp.concatenate(
-                                        [hc, z], axis=1),
-                                    rc, zero_recs(C, B - Bc))
-                                return st2, rc
-
-                            def run_full(st_o, xs_c=xs_c,
-                                         ctx_now=ctx_now):
-                                return jax.lax.scan(
-                                    wrap(make_step(ctx_now)), st_o, xs_c,
-                                    unroll=_scan_unroll())
-
-                            st, rc = jax.lax.cond(
-                                n_active <= Bc, run_small, run_full, st)
-                        else:
-                            st, rc = jax.lax.scan(
-                                wrap(make_step(ctx_now)), st, xs_c,
-                                unroll=_scan_unroll())
-                        if permuted:
-                            inv = jnp.argsort(perm_now)
-                            rc = jax.tree.map(lambda x: x[:, inv], rc)
-                        chunks.append(rc)
-                    if permuted:
-                        inv = jnp.argsort(perm_now)
-                        st = jax.tree.map(lambda x: x[inv], st)
-                    recs = jax.tree_util.tree_map(
-                        lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
-                elif exit_chunk and exit_chunk < T:
+                if exit_chunk and exit_chunk < T:
                     # chunked early exit: skip whole chunks (fwd + bwd)
                     # once every episode in the batch has ended
                     chunks = []
@@ -1723,7 +1593,9 @@ class NavRollout:
                 actions=recs["action_node"], segs=recs["seg"],
                 seg_hops=recs["seg_hops"], targets=recs["target"],
                 node_vp=st["node_vp"], stop_node=best_stop,
-                back_seg=back, back_hops=st["ehops"][bidx, st["cur"], best_stop],
+                back_seg=back,
+                back_hops=st["ehops"][bidx, st["cur"],
+                                      best_stop].astype(jnp.float32),
                 final_cur=st["cur"], n_nodes=st["n_nodes"],
                 overflow_n=st["overflow_n"], spilled_n=st["spilled_n"],
             )
@@ -1793,8 +1665,9 @@ class NavRollout:
         known): rows beyond the prefix have ended, their phase-C updates
         are no-ops and their losses zero, so the chunked result is
         bit-identical while the scan (fwd AND bwd) runs at B_j rows.
-        Unlike GOAT_COMPACT there is no lax.cond, no device argsort and no
-        joined branch residuals — shapes are static per spec."""
+        Unlike the pruned lax.cond compaction (r4) there is no device
+        argsort and no joined branch residuals — shapes are static per
+        spec."""
         model, w, r, c = self.model, self.world, self.rcfg, self.mcfg
         # every policy except 'none' checkpoints the model calls: the
         # batched [T*B] pano forward and the per-step nav forwards must
@@ -1843,7 +1716,7 @@ class NavRollout:
             if txt is None:
                 txt = self.encode_text(params, batch, rng_txt,
                                        deterministic=deterministic)
-            txt_embeds, txt_kv, nav_w = txt["embeds"], txt["kv"], txt["nav_w"]
+            txt_embeds, txt_kv = txt["embeds"], txt["kv"]
             txt_masks = batch["txt_masks"]
 
             st = self.init_state(batch, need_dtw=need_dtw)
@@ -2023,7 +1896,7 @@ class NavRollout:
                 xs["oid"] = oid
                 xs["at_goal"] = ys["at_goal"]
 
-            def make_nav_step(Bj, txt_e, txt_m, txt_k, nav_wj, batch_j):
+            def make_nav_step(Bj, txt_e, txt_m, txt_k, batch_j):
                 bidx_j = jnp.arange(Bj)
 
                 def nav_step(carry, xs_t):
@@ -2037,7 +1910,8 @@ class NavRollout:
                         addf = xs_t["add"].astype(jnp.float32)
                         pe = xs_t["pe"][:, :K].astype(jnp.float32) \
                             * addf[..., None]
-                        es = es + _esum("bkn,bkd->bnd", oh_t, pe)
+                        es = es + _esum("bkn,bkd->bnd", oh_t, pe
+                                        ).astype(es.dtype)
                         ec = ec + _esum("bkn,bk->bn", oh_t, addf)
                     else:
                         es = es.at[bidx_j, cur].set(
@@ -2065,9 +1939,11 @@ class NavRollout:
                         jax.random.fold_in(rng_loop, xs_t["t"]), 2)[1]
                     outs = apply(params, rn, GoatModel.forward_navigation,
                                  txt_e, txt_m, ckpt=True,
-                                 txt_kv=txt_k, nav_w=nav_wj, **nav_in)
+                                 txt_kv=txt_k, **nav_in)
                     logits = outs["fused_logits"]
-                    last = jnp.where(act[:, None], outs["cls_embeds"], last)
+                    last = jnp.where(act[:, None],
+                                     outs["cls_embeds"].astype(last.dtype),
+                                     last)
 
                     og_loss = jnp.zeros((Bj,))
                     if "oid" in xs_t and "gt_obj_slot" in batch_j:
@@ -2097,9 +1973,9 @@ class NavRollout:
 
                 return nav_step
 
-            carry0 = (jnp.zeros((B, N1, D), jnp.float32),
+            carry0 = (jnp.zeros((B, N1, D), _carry_dtype()),
                       jnp.zeros((B, N1), jnp.float32),
-                      jnp.zeros((B, D), jnp.float32))
+                      jnp.zeros((B, D), _carry_dtype()))
             spec = tuple(chunks or ())
             if forced and spec:
                 # static prefix chunking: rows are sorted by descending
@@ -2127,8 +2003,6 @@ class NavRollout:
                     txt_m = txt_masks[:Bj]
                     txt_k = None if txt_kv is None else \
                         jax.tree.map(lambda v: v[:Bj], txt_kv)
-                    nav_wj = None if nav_w is None else \
-                        jax.tree.map(lambda v: v[:Bj], nav_w)
                     batch_j = {k: (v if k in _COMPACT_SHARED
                                    else jax.tree.map(lambda q: q[:Bj], v))
                                for k, v in batch.items()
@@ -2136,7 +2010,7 @@ class NavRollout:
                                         "gt_obj_slot", "feat_noise")}
                     head = jax.tree.map(lambda v: v[:Bj], carry)
                     head, loss_j = jax.lax.scan(
-                        make_nav_step(Bj, txt_e, txt_m, txt_k, nav_wj,
+                        make_nav_step(Bj, txt_e, txt_m, txt_k,
                                       batch_j),
                         head, xs_j, unroll=_scan_unroll())
                     carry = jax.tree.map(
@@ -2151,7 +2025,7 @@ class NavRollout:
                                         "gt_obj_slot", "feat_noise")
                               if k in batch}
                 _, losses = jax.lax.scan(
-                    make_nav_step(B, txt_embeds, txt_masks, txt_kv, nav_w,
+                    make_nav_step(B, txt_embeds, txt_masks, txt_kv,
                                   batch_full),
                     carry0, xs, unroll=_scan_unroll())
 
@@ -2170,8 +2044,7 @@ class NavRollout:
         # trace-time env flags must key the cache too, or flipping them
         # in-process silently returns a stale trace (ADVICE r3)
         key = (feedback, train_ml, deterministic, sample_feedback, remat,
-               _use_onehot(), _scan_unroll(), _sg_geo(),
-               os.environ.get("GOAT_COMPACT", ""))
+               _use_onehot(), _scan_unroll(), _carry_dtype())
         if key not in self._jitted:
             self._jitted[key] = jax.jit(
                 self.build_rollout(feedback, train_ml, deterministic,
