@@ -116,6 +116,7 @@ def test_eval_metrics_on_teacher_rollout(setup):
     assert agg["nDTW"] > 50.0
 
 
+@pytest.mark.slow
 def test_episodic_fw_matches_full_after_visit_all(setup):
     """Walk every node of a scan; the episodic FW tables must then agree
     with the true all-pairs shortest paths restricted to observed edges."""

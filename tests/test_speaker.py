@@ -40,6 +40,7 @@ def setup():
     return dict(cfg=cfg, batch=batch)
 
 
+@pytest.mark.slow
 def test_speaker_overfits_and_decodes(setup):
     cfg, batch = setup["cfg"], setup["batch"]
     sp = Speaker(cfg)

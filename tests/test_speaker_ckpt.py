@@ -18,6 +18,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 torch = pytest.importorskip("torch")
 
+# reference-model instantiation (~30s setup on this 1-core host): slow
+# tier; the converter-surface drift guard in the FAST tier is
+# tests/test_ckpt_audit.py
+pytestmark = [pytest.mark.slow]
+
 H, W, A, FF, HEADS, LAYERS, VOCAB, FEAT = 32, 24, 8, 48, 2, 2, 50, 40
 
 

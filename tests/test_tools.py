@@ -47,6 +47,7 @@ def setup():
     return dict(model=model, params=params, builder=builder, items=items)
 
 
+@pytest.mark.slow
 def test_cfp_extraction_and_tsv(setup, tmp_path):
     s = setup
     tsv = str(tmp_path / "cfp.tsv")
@@ -138,6 +139,7 @@ def _fake_vqa():
     return vqa
 
 
+@pytest.mark.slow
 def test_room_type_pool_and_resume(tmp_path):
     from vln_goat_tpu.tools.do_utils import (extract_room_types_pooled,
                                              load_room_types)

@@ -90,6 +90,7 @@ def test_do_utils_text_zdict(tmp_path):
     assert os.path.getsize(tsv) > 0
 
 
+@pytest.mark.slow
 def test_efficiency_count_tiny():
     from vln_goat_tpu.config import GoatConfig
     from vln_goat_tpu.tools.efficiency import efficiency_count
