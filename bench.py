@@ -330,20 +330,31 @@ def bench_pretrain(tasks=("mlm", "sap", "cfp"), B=48, iters=12,
     return out
 
 
-def probe_tunnel():
-    """10 chained 1024^2 matmuls + fetch (scripts/tpu_health.py inline):
-    healthy < ~0.5s; the DEGRADED tunnel mode (~1s/RPC) measures 50-110s.
-    Printed first so every number below is interpretable."""
-    import jax.numpy as jnp
-    x = jnp.ones((1024, 1024), jnp.bfloat16)
-    f = jax.jit(lambda a: a @ a)
-    r = f(x)
-    jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    for _ in range(10):
-        r = f(r)
-    float(jnp.sum(r.astype(jnp.float32)))  # fetch guard
-    return time.perf_counter() - t0
+def probe_tunnel(deadline_s=600.0):
+    """Run scripts/tpu_health.py as a deadline-bounded SUBPROCESS so a
+    dead tunnel (client hangs at backend init — observed r3) can't hang
+    the whole bench into an rc=124 corpse (BENCH_r04).  Returns the
+    chained-matmul seconds, or None if the probe child never answered
+    within the deadline.  The child early-exits after ONE matmul+fetch
+    when that single RPC already blows the budget, so even the severe
+    degraded mode (46s/RPC, 2026-08-20) answers in ~1 RPC."""
+    import subprocess
+    import sys
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.join(here, "scripts", "tpu_health.py"),
+             "--budget", "3.0", "--json"],
+            capture_output=True, text=True, timeout=deadline_s)
+    except subprocess.TimeoutExpired:
+        return None
+    for line in (p.stdout or "").splitlines():
+        if line.startswith("{"):
+            try:
+                return float(json.loads(line)["seconds"])
+            except (ValueError, KeyError):
+                pass
+    return None
 
 
 def _spread(runs):
@@ -373,12 +384,32 @@ def main():
     th = probe_tunnel()
     print(json.dumps({
         "metric": "tunnel_health_chained_matmul_s",
-        "value": round(th, 2), "unit": "s",
-        "healthy": th < 3.0,
-        "note": "10 chained 1024^2 matmuls + fetch; healthy <0.5s, the "
-                "DEGRADED tunnel mode measures 50-110s — train/decode "
-                "numbers below are dispatch-latency-bound if unhealthy",
+        "value": None if th is None else round(th, 2), "unit": "s",
+        "healthy": th is not None and th < 3.0,
+        "note": "chained 1024^2 matmuls + fetch (subprocess probe); "
+                "healthy <0.5s, DEGRADED ~1-46s/RPC, null = the probe "
+                "child hung past its deadline (tunnel dead)",
     }), flush=True)
+
+    # Dead or severely degraded tunnel: measuring would either hang past
+    # the driver's timeout (losing the whole artifact — BENCH_r04 rc=124)
+    # or record dispatch latency instead of compute (meaningless vs the
+    # 5x bar).  Land an rc=0 artifact that says so, with the last verified
+    # on-chip headline quoted AS PROVENANCE, not as this run's value.
+    if th is None or th >= 30.0:
+        print(json.dumps({
+            "metric": "r2r_dagger_finetune_episodes_per_sec_per_chip",
+            "value": None,
+            "unit": "episodes/s",
+            "skipped": "tunnel_dead" if th is None else "tunnel_degraded",
+            "tunnel_health_s": th if th is None else round(th, 2),
+            "last_verified": {"value": 99.69, "vs_baseline": 3.91,
+                              "artifact": "BENCH_r03.json"},
+            "note": "every RPC round-trips through a degraded relay; "
+                    "step timings would measure dispatch latency, not "
+                    "compute — see ROADMAP.md round-4 tunnel notes",
+        }), flush=True)
+        return
 
     # headline FIRST (median of k=3), so a driver timeout can't lose it
     runs, util = bench_train(k=3)
