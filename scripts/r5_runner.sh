@@ -12,6 +12,9 @@ mkdir -p "$QDIR/done"
 cd /root/repo || exit 1
 echo "runner start $(date +%T) pid=$$" >> "$LOG"
 while true; do
+  # /tmp/r5_stop: freeze the queue (e.g. near round end, so a late job
+  # can't collide with the driver's own bench.py run on the tunnel)
+  if [ -f /tmp/r5_stop ]; then sleep 60; continue; fi
   job=$(ls "$QDIR"/*.sh 2>/dev/null | head -1)
   if [ -z "$job" ]; then sleep 60; continue; fi
   if python scripts/tpu_health.py --budget 3.0 >> "$LOG" 2>&1; then

@@ -23,7 +23,10 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+# persist EVERY compile: a tiny CLI train run issues dozens of sub-2s
+# jits (zdict refresh, eval metrics, logging reductions) that otherwise
+# recompile on every suite run — measured ~25% of fast-tier wall time
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 import numpy as np
 import pytest
