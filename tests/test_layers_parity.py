@@ -16,6 +16,11 @@ from vln_goat_tpu.ops.masks import extend_neg_masks
 
 torch = pytest.importorskip("torch")
 
+# Frozen-parity certification vs HF torch blocks (~22s of HF model builds):
+# slow tier.  The fast tier still guards model numerics via the golden
+# reference-parity fixtures (test_reference_parity.py) and episode parity.
+pytestmark = pytest.mark.slow
+
 CFG = GoatConfig(hidden_size=96, num_attention_heads=4, intermediate_size=192,
                  layer_norm_eps=1e-5, hidden_dropout_prob=0.0,
                  attention_probs_dropout_prob=0.0)

@@ -40,7 +40,10 @@ def setup():
                 batcher=batcher)
 
 
+@pytest.mark.slow
 def test_train_step_reduces_teacher_loss(setup):
+    # 8 optimization iterations (~12s); the fast tier keeps the
+    # single-step grad-flow check below.
     s = setup
     tx = make_optimizer(lr=3e-3, grad_clip=40.0)
     step_fn = jax.jit(make_train_step(s["ro"], tx, train_alg="imitation"))
