@@ -176,21 +176,13 @@ def bench_train(B=None, dataset="r2r", real_shapes=False, k=1, iters=8):
     alg = os.environ.get("GOAT_BENCH_ALG", "dagger")
     th = "auto" if caps else \
         (None if alg == "dagger_fused" else batcher.max_gt_len)
-    if alg == "dagger_2pass":
-        # grad-free sampling pass + host-planned replay at the actual max
-        # episode length with prefix chunking (trainer docstring)
-        step = TR.make_train_step_2pass(
-            ro, tx, ml_weight=0.2,
-            remat=os.environ.get("GOAT_BENCH_REMAT", "model"),
-            teacher_horizon=th)
-    else:
-        step = jax.jit(TR.make_train_step(
-            ro, tx, train_alg=alg, ml_weight=0.2,
-            remat=os.environ.get("GOAT_BENCH_REMAT", "model"),
-            # A/B lever: 0 restores the per-step scan teacher
-            vectorized_teacher=os.environ.get("GOAT_VEC_TEACHER", "1") == "1",
-            # teacher scan at the batcher's gt cap is loss-identical
-            teacher_horizon=th))
+    step = jax.jit(TR.make_train_step(
+        ro, tx, train_alg=alg, ml_weight=0.2,
+        remat=os.environ.get("GOAT_BENCH_REMAT", "model"),
+        # A/B lever: 0 restores the per-step scan teacher
+        vectorized_teacher=os.environ.get("GOAT_VEC_TEACHER", "1") == "1",
+        # teacher scan at the batcher's gt cap is loss-identical
+        teacher_horizon=th))
     rng = jax.random.PRNGKey(0)
 
     def nb():

@@ -59,17 +59,10 @@ def build(B, alg, remat, bf16, num_nodes=48):
                              bucket_caps=caps or None)
     tx = TR.make_optimizer(lr=2e-5)
     state = TR.init_train_state(params, tx)
-    if alg == "dagger_2pass":
-        # two-pass DAgger: host logic between the passes — not jittable
-        # as a whole (trainer.make_train_step_2pass docstring)
-        step = TR.make_train_step_2pass(
-            ro, tx, ml_weight=0.2, remat=remat,
-            teacher_horizon="auto" if caps else 8)
-    else:
-        step = jax.jit(TR.make_train_step(
-            ro, tx, train_alg=alg, ml_weight=0.2, remat=remat,
-            teacher_horizon="auto" if caps else
-            (None if alg == "dagger_fused" else 8)))
+    step = jax.jit(TR.make_train_step(
+        ro, tx, train_alg=alg, ml_weight=0.2, remat=remat,
+        teacher_horizon="auto" if caps else
+        (None if alg == "dagger_fused" else 8)))
     return step, state, batcher
 
 
@@ -93,10 +86,6 @@ def run(B, alg, remat, bf16, iters=8):
     for cap in caps:  # compile every bucket shape before the timed loop
         bb = batcher.make_batch(batcher.next_minibatch(), gt_cap=cap)
         state, m = step(state, bb, rng)
-    if alg == "dagger_2pass":
-        # hit the common (T2, chunk-spec) shapes before timing
-        for i in range(6):
-            state, m = step(state, nb(), jax.random.fold_in(rng, 900 + i))
     jax.block_until_ready(m["loss"])
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()

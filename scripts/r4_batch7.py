@@ -11,11 +11,13 @@ import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
+# 2pass rows ran 2026-08-20 (same-session control 104.7 eps/s): dagger_2pass
+# measured 0.9 eps/s bare / 1.2 with bucket 5,8 — pruned from the codebase
+# per the promote-or-prune rule (ROADMAP round-5 A/B table); the rows are
+# removed so this script stays runnable.
 CONFIGS = [
     # (tag, alg, bucket, sg_geo, iters)
     ("control", "dagger", "", "0", 16),
-    ("2pass", "dagger_2pass", "", "0", 24),
-    ("2pass + bucket 5,8", "dagger_2pass", "5,8", "0", 24),
     ("bucket 5,8", "dagger", "5,8", "0", 24),
     ("bucket 4,6,8", "dagger", "4,6,8", "0", 24),
     ("control (repeat)", "dagger", "", "0", 16),

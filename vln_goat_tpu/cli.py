@@ -143,8 +143,7 @@ def parse_args(argv=None):
     # dagger_fused: both rollouts as ONE 2B-episode scan — same semantics,
     # wins at small per-chip batch, loses the teacher-horizon cut.
     p.add_argument("--train_alg", default="dagger",
-                   choices=["imitation", "dagger", "dagger_fused",
-                            "dagger_2pass"])
+                   choices=["imitation", "dagger", "dagger_fused"])
     p.add_argument("--remat", default="full",
                    choices=["full", "dots", "ffn", "bounds", "none", "model",
                             "probs", "wide"],
@@ -613,25 +612,12 @@ def train(args, rt):
     else:
         th = max((b.max_gt_len for k, b in rt["batchers"].items()
                   if k in ("train", "aug")), default=None)
-    if args.train_alg == "dagger_2pass":
-        # grad-free sampling pass + host-planned replay at the actual max
-        # episode length (trainer.make_train_step_2pass docstring); the
-        # step jits its pieces internally — do not wrap it
-        from .train.trainer import make_train_step_2pass
-
-        step_fn = make_train_step_2pass(
-            rt["rollout"], tx, ml_weight=args.ml_weight,
-            sample_feedback="expl_sample" if args.expl_sample
-            else "sample",
-            expl_max_ratio=args.expl_max_ratio, remat=args.remat,
-            teacher_horizon=th)
-    else:
-        step_fn = jax.jit(make_train_step(
-            rt["rollout"], tx, train_alg=args.train_alg,
-            ml_weight=args.ml_weight,
-            sample_feedback="expl_sample" if args.expl_sample else "sample",
-            expl_max_ratio=args.expl_max_ratio, remat=args.remat,
-            teacher_horizon=th))
+    step_fn = jax.jit(make_train_step(
+        rt["rollout"], tx, train_alg=args.train_alg,
+        ml_weight=args.ml_weight,
+        sample_feedback="expl_sample" if args.expl_sample else "sample",
+        expl_max_ratio=args.expl_max_ratio, remat=args.remat,
+        teacher_horizon=th))
     state = init_train_state(rt["params"], tx)
     fused = args.train_alg == "dagger_fused"
 

@@ -968,8 +968,7 @@ class NavRollout:
                       expl_max_ratio: float = 0.6,
                       sample_feedback: str = "sample",
                       remat: str = "full", record_logits: bool = False,
-                      exit_chunk: int = 0,
-                      record_actions: bool = False):
+                      exit_chunk: int = 0):
         """Returns rollout(params, batch, rng) -> outputs dict.  `feedback`
         in {teacher, sample, argmax, expl_sample, fused_dagger}
         (agent.py:624-647).
@@ -1400,11 +1399,6 @@ class NavRollout:
                            logits_stop=logits[:, 0].astype(jnp.float32),
                            just_ended=just_ended,
                            loss=step_loss.astype(jnp.float32))
-                if record_actions:
-                    # raw gmap-token action (0=stop, slot+2=node) for the
-                    # two-pass DAgger replay (build_forced_rollout_vec);
-                    # inactive rows keep the 0/stop default
-                    rec["a_tok"] = jnp.where(act, a, 0).astype(jnp.int32)
                 if os.environ.get("GOAT_DBG_REC") == "1":
                     rec["dbg_txt"] = jnp.sum(
                         txt_embeds.astype(jnp.float32), axis=(1, 2))
@@ -1493,8 +1487,6 @@ class NavRollout:
                         just_ended=jnp.zeros((C, Bz), bool),
                         loss=jnp.zeros((C, Bz)),
                     )
-                    if record_actions:
-                        z["a_tok"] = jnp.zeros((C, Bz), jnp.int32)
                     if os.environ.get("GOAT_DBG_REC") == "1":
                         z["dbg_txt"] = jnp.zeros((C, Bz))
                         z["dbg_gtlen"] = jnp.zeros((C, Bz), jnp.int32)
@@ -1552,8 +1544,6 @@ class NavRollout:
                         just_ended=jnp.zeros((T, B), bool),
                         loss=jnp.zeros((T, B)),
                     )
-                    if record_actions:
-                        recs["a_tok"] = jnp.zeros((T, B), jnp.int32)
                     if record_logits:
                         recs["logits"] = jnp.full((T, B, r.num_nodes + 2),
                                                   -jnp.inf)
@@ -1599,9 +1589,6 @@ class NavRollout:
                 final_cur=st["cur"], n_nodes=st["n_nodes"],
                 overflow_n=st["overflow_n"], spilled_n=st["spilled_n"],
             )
-            if record_actions:
-                out["a_tok"] = recs["a_tok"]
-                out["just_ended"] = recs["just_ended"]
             for dk in recs:
                 if dk.startswith("dbg_"):
                     out[dk] = recs[dk]
@@ -1619,8 +1606,7 @@ class NavRollout:
         return rollout
 
     def build_teacher_rollout_vec(self, deterministic: bool = False,
-                                  remat: str = "model", forced: bool = False,
-                                  chunks=None):
+                                  remat: str = "model"):
         """Teacher-forced IL rollout with the panorama encoder VECTORIZED
         over steps (training-only twin of build_rollout('teacher',
         train_ml=True)).
@@ -1646,28 +1632,12 @@ class NavRollout:
         same Bernoulli distributions, documented randomness divergence.
         Returns the training subset of build_rollout's outputs.
 
-        forced=True is the TWO-PASS DAgger replay: the rollout takes a
-        recorded per-step action array (gmap tokens from a grad-free
-        sampled pass, build_rollout(record_actions=True)) instead of the
-        imitation expert, computes expert targets with imitation=False and
-        the same end conditions as feedback='sample' — once actions are
-        fixed, the trajectory is parameter-independent, so the SAMPLED
-        rollout gets the same A/B/C decomposition as the teacher.  At the
-        evaluation point the one-pass sampled rollout's loss/grads equal
-        this replay's exactly (the trajectory is piecewise-constant in the
-        params; verified by tests/test_two_pass.py), and the replay
-        horizon can shrink to the batch's actual max episode length.
-
-        chunks (forced only): static spec ((t1, B1), (t2, B2), ...) — the
-        phase-C nav scan runs steps [0,t1) at full B, [t1,t2) on the row
-        prefix [:B1], etc.  Requires rows sorted by descending episode
-        length (the trainer does this on host, where pass-1 lengths are
-        known): rows beyond the prefix have ended, their phase-C updates
-        are no-ops and their losses zero, so the chunked result is
-        bit-identical while the scan (fwd AND bwd) runs at B_j rows.
-        Unlike the pruned lax.cond compaction (r4) there is no device
-        argsort and no joined branch residuals — shapes are static per
-        spec."""
+        (A forced-replay variant of this decomposition — two-pass DAgger,
+        where a grad-free sampled pass recorded actions and this rollout
+        replayed them with prefix chunking — was built and measured in
+        round 5: 0.9 eps/s vs the 104.7 same-session control, killed by
+        host-keyed (T2, chunk-spec) shape churn.  Pruned per the
+        promote-or-prune rule; see ROADMAP round-5 A/B table.)"""
         model, w, r, c = self.model, self.world, self.rcfg, self.mcfg
         # every policy except 'none' checkpoints the model calls: the
         # batched [T*B] pano forward and the per-step nav forwards must
@@ -1706,9 +1676,8 @@ class NavRollout:
         T = r.horizon
         N, N1 = r.num_nodes, r.num_nodes + 1
         objnav = w.num_objs > 0 and c.is_objnav
-        need_dtw = forced and r.expert_policy == "ndtw"
 
-        def rollout(params, batch, rng, txt=None, actions=None):
+        def rollout(params, batch, rng, txt=None):
             B = batch["scan_idx"].shape[0]
             bidx = jnp.arange(B)
             rng_txt, rng_pano, rng_loop = jax.random.split(rng, 3)
@@ -1719,7 +1688,7 @@ class NavRollout:
             txt_embeds, txt_kv = txt["embeds"], txt["kv"]
             txt_masks = batch["txt_masks"]
 
-            st = self.init_state(batch, need_dtw=need_dtw)
+            st = self.init_state(batch, need_dtw=False)
             # the embedding state lives in phase C; the geometry scan only
             # records the scatter indices that drive it
             for k in ("embed_sum", "embed_cnt", "stop_prob", "last_embeds"):
@@ -1728,8 +1697,7 @@ class NavRollout:
             # ---------------- phase A: geometry scan (no model) --------
             onehot = _use_onehot()
 
-            def geo_step(st, xs_a):
-                t, a_f = xs_a
+            def geo_step(st, t):
                 act = ~st["ended"]
                 if onehot:
                     tb = jnp.broadcast_to(t + 1, (B,)).astype(jnp.int32)
@@ -1764,12 +1732,8 @@ class NavRollout:
                 nav_geo, aux = self._nav_inputs(st, batch, pano, None,
                                                 cnode=cnode, has=chas,
                                                 embeds=False)
-                target = self._teacher(st, batch, aux, t,
-                                       imitation=not forced)
-                # forced replay: follow the recorded gmap token; the expert
-                # above supplies the CE target exactly like the one-pass
-                # sampled rollout (step(): feedback='sample', train_ml)
-                a = a_f if forced else jnp.maximum(target, 0)
+                target = self._teacher(st, batch, aux, t, imitation=True)
+                a = jnp.maximum(target, 0)
                 goal = _pick1(batch["gt_path"], batch["gt_len"] - 1) \
                     if onehot else batch["gt_path"][bidx, batch["gt_len"] - 1]
                 a_stop = (cur_vp == goal) | (a == 0)
@@ -1779,23 +1743,7 @@ class NavRollout:
                 tgt_node = jnp.clip(a - 2, 0, r.num_nodes - 1)
 
                 # camera update (arrival-edge view of prev->action)
-                seg, prev = self._expand_path(st, tgt_node, r.seg_len)
-                if "dtw_row" in st:
-                    # incremental DTW over the traversed segment (the ndtw
-                    # expert scores the trajectory-so-far; identical block
-                    # in the one-pass sampled step)
-                    seg = jnp.where(moves[:, None], seg, -1)
-
-                    def dtw_body(k, row):
-                        node = jnp.clip(seg[:, k], 0, r.num_nodes)
-                        vp_k = _pick1(st["node_vp"], node) if onehot \
-                            else st["node_vp"][bidx, node]
-                        cost = self._gt_cost(batch, vp_k)
-                        return dtw_extend_row(row, cost,
-                                              valid=seg[:, k] >= 0)
-
-                    st = {**st, "dtw_row": jax.lax.fori_loop(
-                        0, r.seg_len, dtw_body, st["dtw_row"])}
+                _, prev = self._expand_path(st, tgt_node, r.seg_len)
                 scan = batch["scan_idx"]
                 if onehot:
                     rev = _esum(
@@ -1834,11 +1782,7 @@ class NavRollout:
                     ys["at_goal"] = cur_vp == goal
                 return st, ys
 
-            if forced:
-                acts_xs = actions[:T].astype(jnp.int32)
-            else:
-                acts_xs = jnp.zeros((T, B), jnp.int32)  # unused
-            st, ys = jax.lax.scan(geo_step, st, (jnp.arange(T), acts_xs),
+            st, ys = jax.lax.scan(geo_step, st, jnp.arange(T),
                                   unroll=_scan_unroll())
 
             # ---------------- phase B: batched panorama ----------------
@@ -1976,58 +1920,13 @@ class NavRollout:
             carry0 = (jnp.zeros((B, N1, D), _carry_dtype()),
                       jnp.zeros((B, N1), jnp.float32),
                       jnp.zeros((B, D), _carry_dtype()))
-            spec = tuple(chunks or ())
-            if forced and spec:
-                # static prefix chunking: rows are sorted by descending
-                # episode length on host, so at boundary t_j only the first
-                # B_j rows are still active; the scan (fwd AND bwd) runs on
-                # that prefix with STATIC shapes.  Ended rows' updates are
-                # masked no-ops and their losses zero, so the result is
-                # bit-identical to the full-B scan.
-                def row_slice(x, Bj):
-                    return jax.tree.map(lambda v: v[:, :Bj], x)
-
-                bounds = [0] + [tb for tb, _ in spec] + [T]
-                sizes = [B] + [bj for _, bj in spec]
-                carry = carry0
-                parts = []
-                for j in range(len(sizes)):
-                    a0, b0 = bounds[j], bounds[j + 1]
-                    if a0 >= b0:
-                        continue
-                    Bj = sizes[j]
-                    xs_j = jax.tree.map(
-                        lambda v: v[a0:b0] if v.ndim == 1
-                        else v[a0:b0, :Bj], xs)
-                    txt_e = txt_embeds[:Bj]
-                    txt_m = txt_masks[:Bj]
-                    txt_k = None if txt_kv is None else \
-                        jax.tree.map(lambda v: v[:Bj], txt_kv)
-                    batch_j = {k: (v if k in _COMPACT_SHARED
-                                   else jax.tree.map(lambda q: q[:Bj], v))
-                               for k, v in batch.items()
-                               if k in ("front_vp_feats", "front_gmap_feats",
-                                        "gt_obj_slot", "feat_noise")}
-                    head = jax.tree.map(lambda v: v[:Bj], carry)
-                    head, loss_j = jax.lax.scan(
-                        make_nav_step(Bj, txt_e, txt_m, txt_k,
-                                      batch_j),
-                        head, xs_j, unroll=_scan_unroll())
-                    carry = jax.tree.map(
-                        lambda h, f: jnp.concatenate([h, f[Bj:]], axis=0),
-                        head, carry)
-                    parts.append(jnp.pad(loss_j,
-                                         ((0, 0), (0, B - Bj))))
-                losses = jnp.concatenate(parts, axis=0)
-            else:
-                batch_full = {k: batch[k]
-                              for k in ("front_vp_feats", "front_gmap_feats",
-                                        "gt_obj_slot", "feat_noise")
-                              if k in batch}
-                _, losses = jax.lax.scan(
-                    make_nav_step(B, txt_embeds, txt_masks, txt_kv,
-                                  batch_full),
-                    carry0, xs, unroll=_scan_unroll())
+            batch_full = {k: batch[k]
+                          for k in ("front_vp_feats", "front_gmap_feats",
+                                    "gt_obj_slot", "feat_noise")
+                          if k in batch}
+            _, losses = jax.lax.scan(
+                make_nav_step(B, txt_embeds, txt_masks, txt_kv, batch_full),
+                carry0, xs, unroll=_scan_unroll())
 
             return dict(
                 ml_loss=jnp.sum(losses) / B,

@@ -223,150 +223,6 @@ def init_train_state(params, tx) -> TrainState:
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
 
 
-def make_train_step_2pass(rollout: NavRollout, tx,
-                          ml_weight: float = 0.2,
-                          sample_feedback: str = "sample",
-                          expl_max_ratio: float = 0.6, remat: str = "model",
-                          teacher_horizon: Union[int, str, None] = None,
-                          horizon_buckets=(5, 9, 12),
-                          chunk_points=(4, 8, 12),
-                          prefix_fracs=(0.5, 0.25)):
-    """TWO-PASS DAgger: the on-policy rollout is split into a grad-free
-    sampling pass and a grad-carrying replay.
-
-      pass 1 — build_rollout(sample_feedback, train_ml=False,
-        record_actions=True): the fast early-exit while_loop decode path
-        samples the trajectory and records per-step gmap-token actions.
-        No loss, no remat, no backward.
-      host — episode lengths are now KNOWN: pick the replay horizon T2
-        (smallest bucket >= the batch max), sort rows by descending
-        length, and derive a static prefix-chunk spec so the replay scan
-        runs later steps on only the still-active row prefix.
-      pass 2 — build_teacher_rollout_vec(forced=True, chunks=spec): the
-        vectorized re-forward along the recorded actions (batched pano
-        over [T2*B], nav-only scan) + the teacher rollout + backward +
-        optimizer, one jit per (T2, spec, gt-cap) shape.
-
-    At the evaluation point the sampled trajectory is piecewise-constant
-    in the params, so d(loss)/d(params) of the replay equals the one-pass
-    sampled rollout's exactly; with dropout active the draws differ
-    (documented randomness-divergence class, like rbg/vec-teacher).
-    Returns step(state, batch, rng) like make_train_step — but the step
-    is NOT jittable as a whole (host logic between the passes); do not
-    wrap it in jax.jit."""
-    import dataclasses as _dc
-
-    import numpy as np
-
-    from ..rollout.rollout import _SHARED_BANKS
-
-    H = rollout.rcfg.horizon
-    allowed_T = sorted({h for h in horizon_buckets if h < H} | {H})
-    p1_fn = jax.jit(rollout.build_rollout(
-        sample_feedback, train_ml=False, deterministic=False,
-        expl_max_ratio=expl_max_ratio, record_actions=True))
-
-    # teacher side: same machinery as make_train_step (incl. "auto")
-    def _teacher_at(horizon):
-        t_ro = rollout
-        if horizon is not None and horizon < H:
-            t_ro = NavRollout(rollout.model, rollout.world,
-                              _dc.replace(rollout.rcfg, horizon=horizon))
-        return t_ro.build_teacher_rollout_vec(deterministic=False,
-                                              remat=remat)
-
-    _tcache: Dict[Any, Any] = {}
-
-    def teacher_fn(params, batch, rng, txt=None):
-        h = teacher_horizon
-        if h == "auto":
-            h = min(int(batch["gt_path"].shape[1]), H)
-        if h not in _tcache:
-            _tcache[h] = _teacher_at(h)
-        return _tcache[h](params, batch, rng, txt=txt)
-
-    _scache: Dict[Any, Any] = {}
-
-    def step2_at(T2: int, spec):
-        key = (T2, spec)
-        if key in _scache:
-            return _scache[key]
-        f_ro = rollout if T2 == H else \
-            NavRollout(rollout.model, rollout.world,
-                       _dc.replace(rollout.rcfg, horizon=T2))
-        forced_fn = f_ro.build_teacher_rollout_vec(
-            deterministic=False, remat=remat, forced=True, chunks=spec)
-
-        def loss_fn(params, batch, actions, rng):
-            r1, r2 = jax.random.split(rng)
-            txt = rollout.encode_text(params, batch,
-                                      jax.random.fold_in(rng, 3))
-            loss = jnp.zeros(())
-            metrics = {}
-            if ml_weight != 0:
-                out_t = teacher_fn(params, batch, r1, txt=txt)
-                loss = loss + ml_weight * out_t["ml_loss"]
-                metrics["il_loss"] = out_t["ml_loss"]
-            out_s = forced_fn(params, batch, r2, txt=txt, actions=actions)
-            loss = loss + out_s["ml_loss"]
-            metrics["sample_loss"] = out_s["ml_loss"]
-            metrics["node_overflow"] = jnp.sum(out_s["overflow_n"])
-            metrics["node_spilled"] = jnp.sum(out_s["spilled_n"])
-            return loss, metrics
-
-        def step2(state: TrainState, batch, actions, rng):
-            (loss, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params, batch, actions, rng)
-            updates, opt_state = tx.update(grads, state.opt_state,
-                                           state.params)
-            params = optax.apply_updates(state.params, updates)
-            metrics["loss"] = loss
-            metrics["grad_norm"] = optax.global_norm(grads)
-            return TrainState(params, opt_state, state.step + 1), metrics
-
-        _scache[key] = jax.jit(step2)
-        return _scache[key]
-
-    def derive_spec(lengths: np.ndarray, B: int):
-        """(T2, ((t, B_t), ...)) from pass-1 episode lengths; rows must be
-        sorted descending by length before pass 2."""
-        maxlen = int(lengths.max()) if lengths.size else 1
-        T2 = next(t for t in allowed_T if t >= maxlen)
-        sizes_allowed = sorted({B} | {max(8, int(B * f))
-                                      for f in prefix_fracs}, reverse=True)
-        spec = []
-        prev = B
-        for t in chunk_points:
-            if t >= T2:
-                break
-            need = int((lengths > t).sum())
-            fit = min((s for s in sizes_allowed if s >= max(need, 1)),
-                      default=B)
-            if fit < prev:
-                spec.append((t, fit))
-                prev = fit
-        return T2, tuple(spec)
-
-    def step(state: TrainState, batch, rng):
-        r1, r2 = jax.random.split(jax.random.fold_in(rng, 17))
-        out1 = p1_fn(state.params, batch, r1)
-        a_tok = np.asarray(out1["a_tok"])          # [H, B]
-        je = np.asarray(out1["just_ended"])        # [H, B]
-        B = a_tok.shape[1]
-        lengths = np.where(je.any(0), je.argmax(0) + 1, H)
-        T2, spec = derive_spec(lengths, B)
-        order = np.argsort(-lengths, kind="stable")
-        batch_p = {k: (v if k in _SHARED_BANKS
-                       or getattr(v, "ndim", 0) == 0
-                       or getattr(v, "shape", (0,))[0] != B
-                       else jnp.asarray(v)[jnp.asarray(order)])
-                   for k, v in batch.items()}
-        actions_p = jnp.asarray(a_tok[:T2][:, order])
-        return step2_at(T2, spec)(state, batch_p, actions_p, r2)
-
-    return step
-
-
 def fuse_dagger_batches(batch_t: Dict[str, Any],
                         batch_s: Dict[str, Any]) -> Dict[str, Any]:
     """Concatenate a teacher minibatch and a sample minibatch into one
