@@ -164,10 +164,17 @@ def bench_train(B=None, dataset="r2r", real_shapes=False, k=1, iters=8):
     from vln_goat_tpu.train import trainer as TR
 
     B = B or int(os.environ.get("GOAT_BENCH_TRAIN_B", "64"))
-    # GOAT_BUCKET="5,8": gt-length-homogeneous minibatches; the teacher
-    # scan runs at each bucket's cap (loss-identical; one compile per cap)
-    caps = tuple(int(c) for c in
-                 os.environ.get("GOAT_BUCKET", "").split(",") if c.strip())
+    # gt-length-bucketed minibatches won their on-chip A/B (+9-11%
+    # same-session, loss-identical; ROADMAP round-5 table): the teacher
+    # scan runs at each bucket's cap, one compile per cap.  Defaults are
+    # per dataset — the top cap must equal the dataset's gt cap, or
+    # bucketing would TRUNCATE long supervision paths and change the
+    # workload (rxr gt cap is 15).  GOAT_BUCKET="" disables.
+    bucket_env = os.environ.get("GOAT_BUCKET")
+    if bucket_env is None:
+        bucket_env = "10,15" if dataset == "rxr" else \
+            ("7,11" if real_shapes else "5,8")
+    caps = tuple(int(c) for c in bucket_env.split(",") if c.strip())
     _, params, ro, batcher = build(B, dataset=dataset,
                                    real_shapes=real_shapes,
                                    bucket_caps=caps or None)
@@ -413,6 +420,7 @@ def main():
         "remat_policy": os.environ.get("GOAT_BENCH_REMAT", "model"),
         "scan_unroll": int(os.environ["GOAT_SCAN_UNROLL"]),
         "alg": os.environ.get("GOAT_BENCH_ALG", "dagger"),
+        "bucket_caps": os.environ.get("GOAT_BUCKET", "5,8"),
         "tunnel_health_s": round(th, 2),
     }
     if util is not None:
