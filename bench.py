@@ -402,8 +402,10 @@ def main():
             "unit": "episodes/s",
             "skipped": "tunnel_dead" if th is None else "tunnel_degraded",
             "tunnel_health_s": th if th is None else round(th, 2),
-            "last_verified": {"value": 99.69, "vs_baseline": 3.91,
-                              "artifact": "BENCH_r03.json"},
+            "last_verified": {"value": 114.4, "vs_baseline": 4.49,
+                              "artifact": "ROADMAP.md round-5 A/B table "
+                                          "(2026-08-20, same-session "
+                                          "control 104.7, bucket 5,8)"},
             "note": "every RPC round-trips through a degraded relay; "
                     "step timings would measure dispatch latency, not "
                     "compute — see ROADMAP.md round-4 tunnel notes",
