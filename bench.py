@@ -56,6 +56,24 @@ REF_PRETRAIN = {"mlm": 394.9, "sap": 985.2, "cfp": 270.4}
 
 LO = 20  # REVERIE objects per viewpoint (run_reverie_goat.sh:44 max 20)
 
+# synthetic gt-path caps per benchmark config (build() below): bucket
+# defaults' TOP cap must equal these, or bucketing would TRUNCATE long
+# supervision paths and silently change the workload being measured
+GT_CAP = {("r2r", False): 8, ("r2r", True): 11, ("reverie", False): 8,
+          ("rxr", False): 15}
+
+
+def default_bucket_caps(dataset: str, real_shapes: bool = False) -> str:
+    """Measured-winning gt-length bucket config (ROADMAP round-5 A/B:
+    +9-11% same-session, loss-identical).  GOAT_BUCKET overrides;
+    GOAT_BUCKET="" disables."""
+    env = os.environ.get("GOAT_BUCKET")
+    if env is not None:
+        return env
+    if dataset == "rxr":
+        return "10,15"
+    return "7,11" if real_shapes else "5,8"
+
 
 def build(B, dataset="r2r", bf16=True, real_shapes=False, bucket_caps=None):
     """Production-scale synthetic rig per dataset.  real_shapes=True uses
@@ -164,17 +182,11 @@ def bench_train(B=None, dataset="r2r", real_shapes=False, k=1, iters=8):
     from vln_goat_tpu.train import trainer as TR
 
     B = B or int(os.environ.get("GOAT_BENCH_TRAIN_B", "64"))
-    # gt-length-bucketed minibatches won their on-chip A/B (+9-11%
-    # same-session, loss-identical; ROADMAP round-5 table): the teacher
-    # scan runs at each bucket's cap, one compile per cap.  Defaults are
-    # per dataset — the top cap must equal the dataset's gt cap, or
-    # bucketing would TRUNCATE long supervision paths and change the
-    # workload (rxr gt cap is 15).  GOAT_BUCKET="" disables.
-    bucket_env = os.environ.get("GOAT_BUCKET")
-    if bucket_env is None:
-        bucket_env = "10,15" if dataset == "rxr" else \
-            ("7,11" if real_shapes else "5,8")
-    caps = tuple(int(c) for c in bucket_env.split(",") if c.strip())
+    # gt-length-bucketed minibatches won their on-chip A/B: the teacher
+    # scan runs at each bucket's cap, one compile per cap
+    caps = tuple(int(c) for c in
+                 default_bucket_caps(dataset, real_shapes).split(",")
+                 if c.strip())
     _, params, ro, batcher = build(B, dataset=dataset,
                                    real_shapes=real_shapes,
                                    bucket_caps=caps or None)

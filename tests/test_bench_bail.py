@@ -65,3 +65,20 @@ def test_mild_degradation_proceeds(bench, monkeypatch):
     monkeypatch.setattr(sys, "stdout", out)
     bench.main()
     assert ran.get("yes")
+
+
+def test_default_bucket_caps_never_truncate(bench, monkeypatch):
+    """The promoted bucket defaults must top out AT each config's gt cap:
+    a top cap below it would truncate long supervision paths and change
+    the measured workload (bench.build gt_cap per dataset)."""
+    monkeypatch.delenv("GOAT_BUCKET", raising=False)
+    for (ds, real), gt_cap in bench.GT_CAP.items():
+        caps = [int(c) for c in
+                bench.default_bucket_caps(ds, real).split(",")]
+        assert caps == sorted(caps)
+        assert caps[-1] == gt_cap, (ds, real, caps, gt_cap)
+    # explicit override wins; empty disables
+    monkeypatch.setenv("GOAT_BUCKET", "")
+    assert bench.default_bucket_caps("r2r") == ""
+    monkeypatch.setenv("GOAT_BUCKET", "4,8")
+    assert bench.default_bucket_caps("rxr") == "4,8"
