@@ -263,14 +263,20 @@ def bench_rxr_overflow(B=32, episodes=256):
 
 
 def bench_pretrain(tasks=("mlm", "sap", "cfp"), B=48, iters=12,
-                   num_workers=6):
+                   num_workers=None):
     """END-TO-END pretrain steady state: the real batch stream (multi-
     process BatchWorkerPool, shared-memory feature tables — the reference
     build_dataloader(num_workers) analogue) feeding each task's jitted
     train step.  ex/s includes host batch building, unlike the device-only
     numbers in BASELINE.md's round-3 table.  B=48 = the reference pretrain
-    recipe batch (r2r_GOAT_pretrain.json:7)."""
+    recipe batch (r2r_GOAT_pretrain.json:7).  num_workers=None scales to
+    the host: this rig exposes ONE core, where extra workers only deepen
+    the pipeline into device-step waits."""
     from functools import partial
+
+    if num_workers is None:
+        ncpu = len(os.sched_getaffinity(0))
+        num_workers = 2 if ncpu <= 2 else min(6, ncpu - 1)
 
     import jax.numpy as jnp
 

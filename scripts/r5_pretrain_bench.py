@@ -23,11 +23,9 @@ CEIL = bench.REF_PRETRAIN
 
 def main():
     ncpu = len(os.sched_getaffinity(0))
-    workers = 2 if ncpu <= 2 else min(6, ncpu - 1)
-    print(json.dumps({"host_cpus": ncpu, "num_workers": workers}),
-          flush=True)
+    print(json.dumps({"host_cpus": ncpu}), flush=True)
     t0 = time.perf_counter()
-    out = bench.bench_pretrain(num_workers=workers)
+    out = bench.bench_pretrain()  # num_workers scales to the host
     for t, eps in out.items():
         print(json.dumps({
             "metric": f"pretrain_{t}_examples_per_sec_end_to_end",
