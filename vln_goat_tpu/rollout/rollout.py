@@ -128,17 +128,11 @@ _SHARED_BANKS = frozenset({
 })
 
 
-def _carry_dtype():
-    """Storage dtype for the NON-SEMANTIC scan carries (GOAT_BF16_CARRY=1
-    -> bfloat16; default f32).  embed_sum [B,N+1,D] is the dominant
-    carried tensor (~9.6MB f32 at B=64/768) and, with last_embeds, only
-    feeds the model — which runs bf16 compute anyway — so halving its
-    storage halves the per-step carry traffic the backward re-saves.  The
-    SEMANTIC tables (edist/ehops/enext min-plus geometry, stop_prob
-    backtrack comparisons, embed_cnt) stay exact f32/int32; reference
-    semantics those must match: graph_utils.py:62-144."""
-    return jnp.bfloat16 if os.environ.get("GOAT_BF16_CARRY", "0") == "1" \
-        else jnp.float32
+# (bf16 storage for the non-semantic scan carries — GOAT_BF16_CARRY —
+# was tried in round 5 and measured +1% alone / +0.2% stacked on
+# bucketing, within session noise: the carried-embed HBM traffic is
+# not the bottleneck.  Pruned per the promote-or-prune rule; ROADMAP
+# round-5 carry A/B table.)
 
 
 def _use_onehot() -> bool:
@@ -269,14 +263,14 @@ class NavRollout:
             n_nodes=jnp.ones((B,), jnp.int32),
             visited=jnp.zeros((B, N1), bool),
             step_id=jnp.zeros((B, N1), jnp.int32),
-            embed_sum=jnp.zeros((B, N1, D), _carry_dtype()),
+            embed_sum=jnp.zeros((B, N1, D), jnp.float32),
             embed_cnt=jnp.zeros((B, N1), jnp.float32),
             stop_prob=jnp.full((B, N1), -jnp.inf, jnp.float32),
             edist=jnp.full((B, N1, N1), INF_DIST, jnp.float32)
                   * (1 - jnp.eye(N1)[None]),
             # hop counts are small ints (<= 2*horizon << 256): exact in
             # bf16, so the carry-compaction flag covers this table too
-            ehops=jnp.zeros((B, N1, N1), _carry_dtype()),
+            ehops=jnp.zeros((B, N1, N1), jnp.float32),
             enext=jnp.broadcast_to(jnp.arange(N1, dtype=jnp.int32)[None, None, :]
                                    * jnp.eye(N1, dtype=jnp.int32)[None]
                                    - (1 - jnp.eye(N1, dtype=jnp.int32)[None]),
@@ -289,7 +283,7 @@ class NavRollout:
             # reproduce identically under any batch recomposition
             # (shuffling, slicing, bucketing)
             uid=jnp.arange(B, dtype=jnp.int32),
-            last_embeds=jnp.zeros((B, D), _carry_dtype()),
+            last_embeds=jnp.zeros((B, D), jnp.float32),
             # candidates dropped because the fixed node table was full
             # (reference GraphMap is unbounded; surfacing this makes the
             # capacity degradation observable instead of silent)
@@ -1917,9 +1911,9 @@ class NavRollout:
 
                 return nav_step
 
-            carry0 = (jnp.zeros((B, N1, D), _carry_dtype()),
+            carry0 = (jnp.zeros((B, N1, D), jnp.float32),
                       jnp.zeros((B, N1), jnp.float32),
-                      jnp.zeros((B, D), _carry_dtype()))
+                      jnp.zeros((B, D), jnp.float32))
             batch_full = {k: batch[k]
                           for k in ("front_vp_feats", "front_gmap_feats",
                                     "gt_obj_slot", "feat_noise")
@@ -1943,7 +1937,7 @@ class NavRollout:
         # trace-time env flags must key the cache too, or flipping them
         # in-process silently returns a stale trace (ADVICE r3)
         key = (feedback, train_ml, deterministic, sample_feedback, remat,
-               _use_onehot(), _scan_unroll(), _carry_dtype())
+               _use_onehot(), _scan_unroll())
         if key not in self._jitted:
             self._jitted[key] = jax.jit(
                 self.build_rollout(feedback, train_ml, deterministic,
