@@ -1,9 +1,10 @@
-"""Round-5 A/B: bf16 scan carries (GOAT_BF16_CARRY stores embed_sum /
-last_embeds in bfloat16 — the dominant carried tensors in the rollout
-scans) vs the same-session control, alone and stacked with gt-length
-bucketing.  VERDICT r4 item 6: the rollout step is elementwise/
-data-movement bound (~500ms VPU vs ~152ms matmul per iter), and the
-carried embed state is re-saved by the backward each step.
+"""Round-5 A/B: bf16 scan carries vs the same-session control — RAN
+2026-08-20 (ROADMAP round-5 carry table): control 104.2, carry 105.2
+(+1%, within the control spread), carry+bucket 114.6 == bucket alone,
+control repeat 104.7.  The GOAT_BF16_CARRY flag was PRUNED from
+rollout.py afterward (promote-or-prune), so the carry rows below now
+measure the identical f32-carry graph; the script is kept as the
+record of the experiment's harness.
 
 Every config runs in its own subprocess (env leakage lesson); a repeated
 control row exposes within-session drift.
